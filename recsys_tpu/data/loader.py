@@ -1,0 +1,127 @@
+"""Host-side sharded input pipeline with device prefetch.
+
+Replaces the reference's ``tf.data.TFRecordDataset → map(parse) → batch →
+shuffle → prefetch → repeat`` input_fn (fm/fm.py:106-112 and clones) and its
+C++ TFRecord reader threads with:
+
+- `ShardSource`: epoch iteration over npz shard files — shard-order shuffle
+  + in-shard row shuffle per epoch (superset of the reference's
+  1000-element shuffle buffer), fixed-size batches with a carry buffer so
+  every batch has a static shape (TPU requirement), remainder dropped at
+  epoch end like ``drop_remainder``.
+- `device_prefetch`: a background thread that stages the next host batches
+  onto device with the mesh's data sharding (double buffering replaces
+  ``prefetch(1000)``; transfers overlap the running step).
+- per-host shard assignment via `recsys_tpu.core.mesh.host_shard_of`
+  (replaces per-process file lists, deepfm/deepfm.py:188-194).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from recsys_tpu.core.mesh import MeshEnv
+
+
+class ShardSource:
+    """Iterates fixed-size batches over a set of npz shards, forever or for
+    a bounded number of epochs."""
+
+    def __init__(
+        self,
+        shard_paths: list[str],
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_epochs: int = -1,
+        keys: tuple[str, ...] | None = None,
+    ):
+        if not shard_paths:
+            raise ValueError("no shards")
+        self.shard_paths = list(shard_paths)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_epochs = num_epochs
+        self.keys = keys
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        epoch = 0
+        while self.num_epochs < 0 or epoch < self.num_epochs:
+            rng = np.random.default_rng([self.seed, epoch])
+            order = np.arange(len(self.shard_paths))
+            if self.shuffle:
+                rng.shuffle(order)
+            carry: dict[str, np.ndarray] | None = None
+            for si in order:
+                with np.load(self.shard_paths[si]) as z:
+                    keys = self.keys or tuple(z.files)
+                    data = {k: z[k] for k in keys}
+                n = len(next(iter(data.values())))
+                if self.shuffle:
+                    perm = rng.permutation(n)
+                    data = {k: v[perm] for k, v in data.items()}
+                if carry is not None:
+                    data = {
+                        k: np.concatenate([carry[k], v]) for k, v in data.items()
+                    }
+                    n = len(next(iter(data.values())))
+                nb = n // self.batch_size
+                for b in range(nb):
+                    lo = b * self.batch_size
+                    yield {
+                        k: v[lo:lo + self.batch_size] for k, v in data.items()
+                    }
+                rem = n - nb * self.batch_size
+                carry = (
+                    {k: v[n - rem:] for k, v in data.items()} if rem else None
+                )
+            epoch += 1
+
+
+def device_prefetch(
+    host_iter: Iterator[dict[str, np.ndarray]],
+    env: MeshEnv,
+    depth: int = 2,
+) -> Iterator[dict[str, jax.Array]]:
+    """Stage host batches onto device asynchronously with the data sharding.
+
+    Each array goes up with leading-dim 'data' sharding; transfers for batch
+    k+1 overlap the computation of batch k.
+    """
+    shardings: dict[str, jax.sharding.NamedSharding] = {}
+
+    def put(batch: dict[str, np.ndarray]) -> dict[str, jax.Array]:
+        out = {}
+        for k, v in batch.items():
+            sh = shardings.get(k)
+            if sh is None:
+                axes = ["data"] + [None] * (v.ndim - 1)
+                sh = env.spec(*axes)
+                shardings[k] = sh
+            out[k] = jax.device_put(v, sh)
+        return out
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for batch in host_iter:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

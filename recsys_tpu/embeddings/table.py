@@ -1,0 +1,83 @@
+"""Unified offset-packed embedding tables.
+
+TPU-native replacement for the reference's per-field
+``tf.feature_column.embedding_column`` / ``indicator_column`` stack
+(fm/fm.py:75-95, dcn/dcn.py:72-97, xdeepfm/xdeepfm.py:72-92,
+deepfm/deepfm.py:37-51) and DIN's raw ``tf.get_variable`` tables
+(din/din.py:88-90).
+
+Design: all F fields of a model live in ONE [V_total, D] matrix; a batch of
+field-local ids [B, F] is shifted by static per-field offsets into global row
+ids and fetched with a single gather. One big gather instead of 39 small ones
+is the difference between a TPU-shaped lookup and a scalar-loop shaped one:
+XLA lowers it to one dynamic-gather over HBM, and the backward pass becomes a
+single scatter-add.
+
+The wide/linear term (indicator_column one-hots feeding ``dense(1)`` —
+fm/fm.py:117-121) is the same structure with D=1: a packed weight-per-row
+vector, gathered and summed. No 600k-wide one-hot matmul ever materializes
+(the reference README notes that one-hot input_layer dominates its step time,
+README.md:64 — this is the fix).
+
+Sharding: tables declare 'replicated' (fits-on-chip fast path, pure DP) or
+'row' (row-sharded over the 'model' mesh axis; see
+`recsys_tpu.parallel.sharded_embedding` for the masked-gather + psum path).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recsys_tpu.core.config import EmbeddingConfig
+from recsys_tpu.ops import nn
+
+
+def field_offsets(field_vocab_sizes: tuple[int, ...]) -> np.ndarray:
+    """Static cumulative offsets turning field-local ids into packed rows."""
+    return np.concatenate([[0], np.cumsum(field_vocab_sizes[:-1])]).astype(
+        np.int32
+    )
+
+
+def pad_rows(total: int, multiple: int = 8) -> int:
+    """Pad the packed vocab to a sublane multiple so the table tiles cleanly."""
+    return (total + multiple - 1) // multiple * multiple
+
+
+def embedding_init(key, cfg: EmbeddingConfig) -> dict:
+    """[V_total, D] packed table, truncated-normal(1/sqrt(D)) per TF default."""
+    v = pad_rows(cfg.total_vocab)
+    dtype = jnp.dtype(cfg.dtype)
+    return {"table": nn.embedding_init(key, (v, cfg.embedding_dim), dtype)}
+
+
+def linear_init(key, field_vocab_sizes: tuple[int, ...],
+                dtype=jnp.float32) -> dict:
+    """Packed per-row linear weights (the indicator→dense(1) kernel rows).
+
+    glorot_uniform over the virtual [V_total, 1] dense kernel, matching
+    tf.layers.dense's default on the one-hot input layer.
+    """
+    v = pad_rows(sum(field_vocab_sizes))
+    return {
+        "w": nn.glorot_uniform(key, (v, 1), dtype)[:, 0],
+        "b": jnp.zeros((), dtype),
+    }
+
+
+def to_global_ids(ids: jax.Array, offsets: np.ndarray) -> jax.Array:
+    """[B, F] field-local → packed global row ids (static offset add)."""
+    return ids + jnp.asarray(offsets)[None, :]
+
+
+def embedding_lookup(params: dict, gids: jax.Array) -> jax.Array:
+    """[B, F] global ids → [B, F, D]. One fused gather."""
+    return jnp.take(params["table"], gids, axis=0)
+
+
+def linear_sum(params: dict, gids: jax.Array) -> jax.Array:
+    """Wide term: Σ_f w[gid_f] + b → [B, 1]."""
+    w = jnp.take(params["w"], gids, axis=0)       # [B, F]
+    return jnp.sum(w, axis=1, keepdims=True) + params["b"]

@@ -1,0 +1,169 @@
+"""Interaction ops: FM pairwise, DCN cross, CIN, DIN attention.
+
+XLA-native formulations of the four interaction towers in the reference
+model zoo. These are the canonical (autodiff-friendly, fully fused by XLA)
+implementations; `recsys_tpu.ops.pallas_kernels` provides hand-written Pallas
+versions of the hot ones, verified against these in tests.
+
+Shapes use B=batch, F=num fields, D=embedding dim, H=CIN feature maps,
+P=padded history length, K=embedding dim (DIN).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from recsys_tpu.ops import nn
+
+
+# ---------------------------------------------------------------------------
+# FM second-order term (fm/fm.py:124-129, deepfm/deepfm.py:92-98)
+# ---------------------------------------------------------------------------
+
+def fm_pairwise(emb: jax.Array) -> jax.Array:
+    """0.5 * Σ_d [(Σ_f e_fd)² − Σ_f e_fd²]  →  [B, 1].
+
+    The sum-square minus square-sum identity computes all O(F²) pairwise
+    embedding interactions in O(F·D). Pure VPU work; XLA fuses it into the
+    surrounding graph.
+    """
+    sum_sq = jnp.square(jnp.sum(emb, axis=1))          # [B, D]
+    sq_sum = jnp.sum(jnp.square(emb), axis=1)          # [B, D]
+    return 0.5 * jnp.sum(sum_sq - sq_sum, axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# DCN cross layers (dcn/dcn.py:132-142)
+# ---------------------------------------------------------------------------
+
+def cross_init(key, dim: int, num_layers: int, dtype=jnp.float32):
+    """Per-layer rank-1 weight and bias, both glorot_normal as in the
+    reference (dcn/dcn.py:137-139 — yes, the bias too)."""
+    params = []
+    for _ in range(num_layers):
+        key, kw, kb = jax.random.split(key, 3)
+        params.append({
+            "w": nn.glorot_normal(kw, (dim,), dtype),
+            "b": nn.glorot_normal(kb, (dim,), dtype),
+        })
+    return params
+
+
+def cross_apply(params, x0: jax.Array) -> jax.Array:
+    """x_{l+1} = x0 · (x_l ⊤ w_l) + x_l + b_l  over [B, dim].
+
+    Each layer is one [B,dim]×[dim] contraction + fused elementwise ops —
+    memory-bound, so the whole stack fuses into a few VPU passes.
+    """
+    xl = x0
+    for layer in params:
+        xw = jnp.einsum("bd,d->b", xl, layer["w"])       # [B]
+        xl = xw[:, None] * x0 + xl + layer["b"]
+    return xl
+
+
+# ---------------------------------------------------------------------------
+# CIN — compressed interaction network (xdeepfm/xdeepfm.py:135-182)
+# ---------------------------------------------------------------------------
+
+def cin_init(key, num_fields: int, layer_sizes: tuple[int, ...],
+             dtype=jnp.float32):
+    """Filters W_k of shape [F_{k-1}·F_0, H_k] (the conv1d filters at
+    xdeepfm/xdeepfm.py:154-156) + bias, zeros-init bias as the reference."""
+    params = []
+    f0 = num_fields
+    fk = num_fields
+    for h in layer_sizes:
+        key, sub = jax.random.split(key)
+        params.append({
+            # conv1d filter [1, Fk*F0, H] — glorot_uniform (tf get_variable
+            # default for conv-like shapes is glorot_uniform)
+            "w": nn.glorot_uniform(sub, (fk * f0, h), dtype),
+            "b": jnp.zeros((h,), dtype),
+        })
+        fk = h
+    return params
+
+
+def cin_apply(params, x0: jax.Array) -> jax.Array:
+    """CIN forward → pooled feature map concat, shape [B, Σ_k H_k].
+
+    The reference realizes each layer as D embedding-dim splits + batched
+    matmul + conv1d (xdeepfm/xdeepfm.py:145-158). On TPU this collapses to a
+    single einsum chain per layer:
+
+        z_k[b,d,p,q] = x0[b,p,d] · x_k[b,q,d]
+        x_{k+1}[b,h,d] = relu( Σ_{p,q} z_k[b,d,p,q] · W_k[p·F_k+q, h] + b_h )
+
+    i.e. one [B·D, F0·Fk] × [F0·Fk, H] matmul per layer — MXU-shaped.
+    Direct-connect: every layer's output sum-pooled over D and concatenated
+    (xdeepfm/xdeepfm.py:172-181).
+    """
+    b, f0, d = x0.shape
+    xk = x0
+    pooled = []
+    for layer in params:
+        fk = xk.shape[1]
+        # [B, D, F0, Fk] -> [B*D, F0*Fk]; index p*Fk+q matches the
+        # reference's reshape of matmul(split0, split_k^T).
+        z = jnp.einsum("bpd,bqd->bdpq", x0, xk)
+        z = z.reshape(b * d, f0 * fk)
+        out = jnp.dot(z, layer["w"], preferred_element_type=jnp.float32)
+        out = jax.nn.relu(out + layer["b"])
+        h = out.shape[-1]
+        xk = out.reshape(b, d, h).transpose(0, 2, 1)     # [B, H, D]
+        pooled.append(jnp.sum(xk, axis=2))               # [B, H]
+    return jnp.concatenate(pooled, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# DIN target attention (din/din.py:103-125)
+# ---------------------------------------------------------------------------
+
+def din_attention_init(key, emb_dim: int, attention_layers: tuple[int, ...],
+                       dtype=jnp.float32):
+    params = {"mlp": [], "out": None}
+    d = 4 * emb_dim  # [hist, query, hist*query, hist-query]
+    for h in attention_layers:
+        key, sub = jax.random.split(key)
+        params["mlp"].append(nn.dense_init(sub, d, h, dtype))
+        d = h
+    key, sub = jax.random.split(key)
+    params["out"] = nn.dense_init(sub, d, 1, dtype)
+    return params
+
+
+def din_attention(
+    params,
+    hist_emb: jax.Array,    # [B, P, K] history embeddings
+    hist_ids: jax.Array,    # [B, P] padded ids (0 = padding, din/din.py:107)
+    query_emb: jax.Array,   # [B, K] target item embedding
+    *,
+    train: bool = False,
+    dropout_rate: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Per-position attention MLP over [hist, query, hist⊙query, hist−query],
+    then masked weighted-sum pooling → [B, K].
+
+    TPU note: the history axis is statically padded (padding buckets chosen
+    by the loader); masking by ``id > 0`` reproduces din/din.py:107. The MLP
+    runs on the flattened [B·P, 4K] batch — one big MXU matmul instead of the
+    reference's per-batch dynamic shapes.
+    """
+    b, p, k = hist_emb.shape
+    query = jnp.broadcast_to(query_emb[:, None, :], (b, p, k))
+    att_in = jnp.concatenate(
+        [hist_emb, query, hist_emb * query, hist_emb - query], axis=-1
+    ).reshape(b * p, 4 * k)
+    h = att_in
+    for layer in params["mlp"]:
+        h = nn.dense(layer, h, activation=jax.nn.relu)
+        if dropout_rate > 0.0 and train:
+            assert rng is not None
+            rng, sub = jax.random.split(rng)
+            h = nn.dropout(sub, h, dropout_rate, train)
+    wgt = nn.dense(params["out"], h).reshape(b, p, 1)
+    mask = (hist_ids > 0).astype(hist_emb.dtype)[:, :, None]
+    return jnp.sum(hist_emb * wgt * mask, axis=1)

@@ -1,0 +1,186 @@
+"""SPMD training: shard_map'd train step with row-sharded embedding tables.
+
+This is the multi-chip story (SURVEY §2.3 / §5.8): a 2-D
+``Mesh(('data','model'))`` where
+
+- the batch is split over ``data`` (pure DP for the tiny dense towers);
+- the packed embedding tables are row-split over ``model`` (the memory-heavy
+  state — the genuine model parallelism a CTR workload needs);
+- gradients all-reduce over ``data`` via an explicit ``psum`` (the NCCL
+  MirroredStrategy replacement, deepfm/deepfm.py:159-169), while embedding
+  lookups reconstruct full activations with a ``psum`` over ``model``
+  (see `recsys_tpu.parallel.sharded_embedding`).
+
+The SAME model bodies run here as in the single-chip path — only the
+`EmbOps` plumbing changes — so sharded-vs-unsharded equivalence is testable
+bit-for-bit (tests/test_spmd.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from recsys_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, MeshEnv
+from recsys_tpu.models.api import EmbOps, Model
+from recsys_tpu.parallel import sharded_embedding as SE
+from recsys_tpu.train import optim
+
+#: EmbOps used *inside* shard_map: params leaves arrive pre-sharded, so the
+#: lookups run on local rows and psum over the model axis.
+SHARDED_EMB_OPS = EmbOps(
+    embed=lambda p, gids: SE.sharded_embedding_lookup(p["table"], gids),
+    linear=lambda p, gids: SE.sharded_linear_sum(p["w"], p["b"], gids),
+)
+
+#: param-subtree names that hold packed tables (models/ctr.py convention).
+_TABLE_KEYS = {"embedding"}
+_WIDE_KEYS = {"wide", "lin_cat"}
+
+
+def param_specs(params) -> Any:
+    """PartitionSpec tree: embedding tables row-sharded, all else replicated."""
+
+    def spec_for(path, leaf) -> P:
+        keys = [getattr(k, "key", None) for k in path]
+        if any(k in _TABLE_KEYS for k in keys) and keys[-1] == "table":
+            return P(MODEL_AXIS, None)
+        if any(k in _WIDE_KEYS for k in keys) and keys[-1] == "w":
+            return P(MODEL_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def opt_specs(pspecs) -> optim.AdamState:
+    return optim.AdamState(count=P(), mu=pspecs, nu=pspecs)
+
+
+def batch_specs(batch) -> Any:
+    return jax.tree.map(lambda v: P(DATA_AXIS, *([None] * (v.ndim - 1))),
+                        batch)
+
+
+def place(tree, specs, env: MeshEnv):
+    """device_put a pytree with its PartitionSpec tree (global placement)."""
+    return jax.tree.map(
+        lambda v, s: jax.device_put(v, NamedSharding(env.mesh, s)),
+        tree, specs,
+    )
+
+
+class SpmdState(NamedTuple):
+    params: Any
+    model_state: Any
+    opt_state: optim.AdamState
+    step: jax.Array
+    rng: jax.Array
+
+
+def create_spmd_state(
+    model: Model, env: MeshEnv, seed: int, opt: optim.Optimizer
+) -> SpmdState:
+    """Init on host, then place params/opt-state with their shardings."""
+    key = jax.random.key(seed)
+    init_key, run_key = jax.random.split(key)
+    params, model_state = model.init(init_key)
+    opt_state = opt.init(params)
+    pspecs = param_specs(params)
+    params = place(params, pspecs, env)
+    opt_state = place(opt_state, opt_specs(pspecs), env)
+    model_state = place(model_state, jax.tree.map(lambda _: P(), model_state),
+                        env)
+    return SpmdState(params, model_state, opt_state,
+                     jnp.zeros((), jnp.int32), run_key)
+
+
+def make_spmd_train_step(
+    model: Model, opt: optim.Optimizer, env: MeshEnv,
+    global_batch_size: int, example_batch,
+):
+    """jitted ``step(SpmdState, batch) -> (SpmdState, loss)`` over the mesh.
+
+    ``example_batch`` supplies the batch pytree structure for spec building
+    (shapes may differ at call time as long as structure matches).
+    """
+    params_tmpl, mstate_tmpl = jax.eval_shape(
+        lambda k: model.init(k), jax.random.key(0)
+    )
+    pspecs = param_specs(params_tmpl)
+    ospecs = opt_specs(pspecs)
+    msspecs = jax.tree.map(lambda _: P(), mstate_tmpl)
+    bspecs = batch_specs(example_batch)
+
+    def shard_fn(params, mstate, opt_state, step, rng, batch):
+        # decorrelate dropout across data shards
+        local_rng = jax.random.fold_in(
+            jax.random.fold_in(rng, step), jax.lax.axis_index(DATA_AXIS)
+        )
+
+        def local_loss(p, ms):
+            logits, new_ms = model.apply(
+                p, ms, batch, train=True, rng=local_rng,
+                emb_ops=SHARDED_EMB_OPS,
+            )
+            labels = batch["label"].astype(jnp.float32)
+            ce = jnp.sum(
+                jnp.maximum(logits, 0.0) - logits * labels
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            return ce / global_batch_size, new_ms
+
+        (loss, new_ms), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, mstate)
+        loss = jax.lax.psum(loss, DATA_AXIS)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        new_ms = jax.lax.pmean(new_ms, DATA_AXIS)
+        new_params, new_opt = opt.update(grads, opt_state, params)
+        return new_params, new_ms, new_opt, loss
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=env.mesh,
+        in_specs=(pspecs, msspecs, ospecs, P(), P(), bspecs),
+        out_specs=(pspecs, msspecs, ospecs, P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(st: SpmdState, batch):
+        new_params, new_ms, new_opt, loss = sharded(
+            st.params, st.model_state, st.opt_state, st.step, st.rng, batch
+        )
+        return SpmdState(new_params, new_ms, new_opt, st.step + 1, st.rng), loss
+
+    return step
+
+
+def make_spmd_eval_logits(model: Model, env: MeshEnv, example_batch):
+    """jitted eval forward over the mesh → global logits [B]."""
+    params_tmpl, mstate_tmpl = jax.eval_shape(
+        lambda k: model.init(k), jax.random.key(0)
+    )
+    pspecs = param_specs(params_tmpl)
+    msspecs = jax.tree.map(lambda _: P(), mstate_tmpl)
+    bspecs = batch_specs(example_batch)
+
+    def shard_fn(params, mstate, batch):
+        logits, _ = model.apply(
+            params, mstate, batch, train=False, rng=None,
+            emb_ops=SHARDED_EMB_OPS,
+        )
+        return logits
+
+    sharded = shard_map(
+        shard_fn, mesh=env.mesh,
+        in_specs=(pspecs, msspecs, bspecs),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

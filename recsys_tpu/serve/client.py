@@ -1,0 +1,80 @@
+"""Serving clients: REST + gRPC, with the reference's latency/AUC check.
+
+Parity with deepfm/grpc_client.py: build a feature batch, send a warm-up
+request (grpc_client.py:61-67), time the predict round trip
+(grpc_client.py:79-81), then recompute AUC on the returned probabilities
+against held-out labels (grpc_client.py:85) — the reference's end-to-end
+export/serve sanity test (SURVEY §4). rest_client.py:17-31 parity for JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+
+from recsys_tpu.serve.server import GRPC_METHOD
+
+
+def features_to_instances(features: dict[str, np.ndarray]) -> list[dict]:
+    keys = list(features.keys())
+    n = len(features[keys[0]])
+    return [
+        {k: np.asarray(features[k][i]).tolist() for k in keys}
+        for i in range(n)
+    ]
+
+
+def rest_predict(port: int, features: dict[str, np.ndarray],
+                 model_name: str = "model") -> np.ndarray:
+    body = json.dumps({"instances": features_to_instances(features)}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/models/{model_name}:predict",
+        data=body, headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        out = json.loads(resp.read())
+    if "error" in out:
+        raise RuntimeError(out["error"])
+    return np.asarray(out["predictions"], np.float32)
+
+
+def grpc_predict(port: int, features: dict[str, np.ndarray]) -> np.ndarray:
+    import grpc
+
+    channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+    stub = channel.unary_unary(
+        GRPC_METHOD,
+        request_serializer=lambda b: b,
+        response_deserializer=lambda b: b,
+    )
+    body = json.dumps({"instances": features_to_instances(features)}).encode()
+    resp = stub(body, timeout=30.0)
+    return np.asarray(json.loads(resp)["predictions"], np.float32)
+
+
+def benchmark_serving(
+    predict_fn, features: dict[str, np.ndarray],
+    labels: np.ndarray | None = None, warmup: int = 2, iters: int = 10,
+) -> dict[str, float]:
+    """Warm-up + timed predicts + optional AUC check → latency stats."""
+    for _ in range(warmup):
+        predict_fn(features)
+    lat = []
+    probs = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        probs = predict_fn(features)
+        lat.append(time.perf_counter() - t0)
+    out = {
+        "batch": float(len(probs)),
+        "latency_ms_mean": float(np.mean(lat) * 1e3),
+        "latency_ms_p50": float(np.percentile(lat, 50) * 1e3),
+        "latency_ms_p99": float(np.percentile(lat, 99) * 1e3),
+    }
+    if labels is not None and len(set(labels.tolist())) > 1:
+        from sklearn.metrics import roc_auc_score
+        out["auc"] = float(roc_auc_score(labels, probs))
+    return out

@@ -1,0 +1,128 @@
+"""Model export for serving.
+
+Replaces SavedModel export (``export_savedmodel`` — deepfm/deepfm.py:220-233,
+``export_outputs`` in every model_fn, fm/fm.py:136-144): a servable is the
+model config + trained (params, model_state) on disk, reloaded into a
+jit-compiled inference function whose signature is the reference's serving
+signature — ``prob = f(features)`` (PredictOutput{"prob"}).
+
+Batch-size bucketing keeps serving shapes static (TPU requirement): incoming
+requests are padded up to the next bucket, each bucket compiles once and is
+cached by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+
+from recsys_tpu.core.checkpoint import CheckpointManager
+from recsys_tpu.core.config import CriteoConfig, ModelConfig
+from recsys_tpu.models.api import make_model
+from recsys_tpu.train.train_state import make_predict_step
+
+DEFAULT_BUCKETS = (1, 8, 64, 256, 1024, 4096)
+
+
+def export_servable(
+    export_dir: str,
+    model_name: str,
+    params,
+    model_state,
+    model_cfg: ModelConfig,
+    criteo_cfg: CriteoConfig | None = None,
+    extra: dict | None = None,
+) -> str:
+    os.makedirs(export_dir, exist_ok=True)
+    mgr = CheckpointManager(export_dir, keep_max=1)
+    mgr.save(0, (params, model_state), extra=extra)
+    meta = {
+        "model_name": model_name,
+        "model_cfg": dataclasses.asdict(model_cfg),
+        "criteo_cfg": dataclasses.asdict(criteo_cfg) if criteo_cfg else None,
+    }
+    with open(os.path.join(export_dir, "servable.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return export_dir
+
+
+def _cfg_from_dict(cls, d):
+    if d is None:
+        return None
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kw = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        if isinstance(v, list):
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        kw[k] = v
+    return cls(**kw)
+
+
+class Servable:
+    """Loaded inference endpoint with bucketed static batch shapes."""
+
+    def __init__(self, export_dir: str,
+                 buckets: tuple[int, ...] = DEFAULT_BUCKETS):
+        with open(os.path.join(export_dir, "servable.json")) as f:
+            meta = json.load(f)
+        self.model_name = meta["model_name"]
+        model_cfg = _cfg_from_dict(ModelConfig, meta["model_cfg"])
+        criteo_cfg = _cfg_from_dict(CriteoConfig, meta["criteo_cfg"])
+        self.criteo_cfg = criteo_cfg
+        if criteo_cfg is not None:
+            self.model = make_model(self.model_name, criteo_cfg, model_cfg)
+        else:
+            self.model = make_model(self.model_name, cfg=model_cfg)
+        params_t, state_t = self.model.init(jax.random.key(0))
+        mgr = CheckpointManager(export_dir, keep_max=1)
+        restored = mgr.restore((params_t, state_t))
+        if restored is None:
+            raise FileNotFoundError(f"no weights in {export_dir}")
+        (self.params, self.model_state), _, _ = restored
+        self.params = jax.tree.map(jax.numpy.asarray, self.params)
+        self.model_state = jax.tree.map(jax.numpy.asarray, self.model_state)
+        self.buckets = buckets
+        self._predict = make_predict_step(self.model)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return ((n + self.buckets[-1] - 1) // self.buckets[-1]) * self.buckets[-1]
+
+    def predict(self, features: dict[str, np.ndarray]) -> np.ndarray:
+        """features → probs [B] (the "prob" serving output)."""
+        n = len(next(iter(features.values())))
+        b = self._bucket(n)
+        padded = {}
+        for k, v in features.items():
+            v = np.asarray(v)
+            if b > n:
+                pad = np.repeat(v[-1:], b - n, axis=0)
+                v = np.concatenate([v, pad], axis=0)
+            padded[k] = v
+        probs = self._predict(self.params, self.model_state, padded)
+        return np.asarray(probs)[:n]
+
+    def warmup(self) -> None:
+        """Pre-compile all buckets (the reference's warm-up request,
+        grpc_client.py:61-67, generalized)."""
+        sample = self._sample_features(1)
+        for b in self.buckets:
+            feats = {k: np.repeat(v, b, axis=0) for k, v in sample.items()}
+            self.predict(feats)
+
+    def _sample_features(self, n: int) -> dict[str, np.ndarray]:
+        if self.criteo_cfg is not None:
+            from recsys_tpu.data.criteo import synthetic_criteo
+            d = synthetic_criteo(n, self.criteo_cfg)
+            return {k: v for k, v in d.items() if k != "label"}
+        raise NotImplementedError(
+            f"warmup sample for model {self.model_name}"
+        )

@@ -1,0 +1,189 @@
+"""Serving front-ends: REST (TF-Serving-style JSON) + gRPC, with batching.
+
+Replaces ``tensorflow_model_server`` (the C++ server the reference's clients
+talk to, deepfm/grpc_client.py:11-14, deepfm/rest_client.py:1-2) with a
+lightweight host around the jitted inference function:
+
+- REST: ``POST /v1/models/<name>:predict`` with ``{"instances": [...]}`` →
+  ``{"predictions": [...]}`` — the same JSON surface the reference REST
+  client uses (rest_client.py:17-31).
+- gRPC: a generic bytes-unary method ``/recsys.Predictor/Predict`` carrying
+  the same JSON payload (no protoc needed; the runtime is stock grpcio).
+- A micro-batching queue coalesces concurrent requests into one device call
+  (the request-batching TF-Serving does natively, SURVEY §2.2 last row).
+
+Feature payloads: each instance is ``{"ids": [39 ints], "dense": [13
+floats]}`` for Criteo models (the post-preprocessing schema; raw-TSV
+preprocessing belongs to the offline/data tier as in the reference, whose
+exported graph also consumes already-serialized Examples).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from concurrent import futures
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from recsys_tpu.serve.export import Servable
+
+
+class _MicroBatcher:
+    """Coalesce concurrent predict calls into single device invocations."""
+
+    def __init__(self, servable: Servable, max_batch: int = 4096,
+                 timeout_ms: float = 2.0):
+        self.servable = servable
+        self.max_batch = max_batch
+        self.timeout_s = timeout_ms / 1000.0
+        self.q: queue.Queue = queue.Queue()
+        self._stop = False
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def predict(self, features: dict[str, np.ndarray]) -> np.ndarray:
+        ev = threading.Event()
+        slot: dict = {"features": features, "event": ev}
+        self.q.put(slot)
+        ev.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["result"]
+
+    def _loop(self):
+        while not self._stop:
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            n = len(next(iter(first["features"].values())))
+            deadline = self.timeout_s
+            while n < self.max_batch:
+                try:
+                    nxt = self.q.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                group.append(nxt)
+                n += len(next(iter(nxt["features"].values())))
+            try:
+                keys = first["features"].keys()
+                merged = {
+                    k: np.concatenate([g["features"][k] for g in group])
+                    for k in keys
+                }
+                probs = self.servable.predict(merged)
+                lo = 0
+                for g in group:
+                    cnt = len(next(iter(g["features"].values())))
+                    g["result"] = probs[lo:lo + cnt]
+                    lo += cnt
+            except Exception as e:  # propagate per-request
+                for g in group:
+                    g["error"] = f"{type(e).__name__}: {e}"
+            finally:
+                for g in group:
+                    g["event"].set()
+
+    def stop(self):
+        self._stop = True
+
+
+def _instances_to_features(instances: list[dict]) -> dict[str, np.ndarray]:
+    keys = instances[0].keys()
+    feats = {}
+    for k in keys:
+        arr = np.asarray([inst[k] for inst in instances])
+        if arr.dtype.kind in "iu":
+            arr = arr.astype(np.int32)
+        elif arr.dtype.kind == "f":
+            arr = arr.astype(np.float32)
+        feats[k] = arr
+    return feats
+
+
+# ---------------------------------------------------------------------------
+# REST
+# ---------------------------------------------------------------------------
+
+def make_rest_server(servable: Servable, port: int,
+                     batcher: _MicroBatcher | None = None):
+    batcher = batcher or _MicroBatcher(servable)
+    model_name = servable.model_name
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length))
+                feats = _instances_to_features(body["instances"])
+                probs = batcher.predict(feats)
+                out = json.dumps(
+                    {"predictions": [float(p) for p in probs]}
+                ).encode()
+                self.send_response(200)
+            except Exception as e:
+                out = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
+                self.send_response(400)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def do_GET(self):
+            # model status endpoint
+            out = json.dumps({
+                "model_version_status": [{
+                    "version": "1", "state": "AVAILABLE",
+                    "model_name": model_name,
+                }]
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    return server, batcher
+
+
+# ---------------------------------------------------------------------------
+# gRPC (generic method, JSON payload — no protoc required)
+# ---------------------------------------------------------------------------
+
+GRPC_METHOD = "/recsys.Predictor/Predict"
+
+
+def make_grpc_server(servable: Servable, port: int,
+                     batcher: _MicroBatcher | None = None):
+    import grpc
+
+    batcher = batcher or _MicroBatcher(servable)
+
+    def predict_handler(request_bytes: bytes, context) -> bytes:
+        body = json.loads(request_bytes)
+        feats = _instances_to_features(body["instances"])
+        probs = batcher.predict(feats)
+        return json.dumps({"predictions": [float(p) for p in probs]}).encode()
+
+    handler = grpc.method_handlers_generic_handler(
+        "recsys.Predictor",
+        {
+            "Predict": grpc.unary_unary_rpc_method_handler(
+                predict_handler,
+                request_deserializer=lambda b: b,
+                response_serializer=lambda b: b,
+            )
+        },
+    )
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=8))
+    server.add_generic_rpc_handlers((handler,))
+    server.add_insecure_port(f"127.0.0.1:{port}")
+    return server, batcher

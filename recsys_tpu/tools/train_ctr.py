@@ -1,0 +1,139 @@
+"""CTR training CLI — the ``task_type={train,eval,predict,export,serve}``
+entry point (replaces ``python <model>.py --task_type=...`` in every
+reference script, fm/fm.py:211-224, deepfm/deepfm.py:197-234).
+
+Usage:
+    python -m recsys_tpu.tools.train_ctr train \
+        --model.name=deepfm --train.batch_size=8192 --train.num_steps=2000 \
+        [--data_dir=/path/to/npz/shards | synthetic by default]
+    python -m recsys_tpu.tools.train_ctr export --export_dir=./export ...
+    python -m recsys_tpu.tools.train_ctr serve --export_dir=./export --port=8500
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import sys
+
+import numpy as np
+
+from recsys_tpu.core.config import RunConfig, apply_overrides, to_json
+from recsys_tpu.data import criteo, loader
+from recsys_tpu.models.api import make_model
+from recsys_tpu.train import loop
+
+
+def _synthetic_shards(tmp_dir: str, rows: int, shards: int, cfg):
+    import os
+    if not os.path.exists(os.path.join(tmp_dir, "part-r-00000.npz")):
+        criteo.write_synthetic_shards(tmp_dir, rows, shards, cfg)
+    return sorted(glob.glob(f"{tmp_dir}/part-r-*.npz"))
+
+
+def main(argv: list[str] | None = None) -> dict:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    argv = argv if argv is not None else sys.argv[1:]
+    task = argv[0] if argv and not argv[0].startswith("--") else "train"
+    overrides = [a for a in argv if a.startswith("--") and "=" in a
+                 and not a.startswith("--data_dir")
+                 and not a.startswith("--export_dir")
+                 and not a.startswith("--port")
+                 and not a.startswith("--synthetic_rows")]
+    kv = dict(
+        a[2:].split("=", 1) for a in argv
+        if a.startswith(("--data_dir", "--export_dir", "--port",
+                         "--synthetic_rows"))
+    )
+
+    cfg = apply_overrides(RunConfig(), overrides)
+    logging.getLogger("recsys_tpu").info("config: %s", to_json(cfg))
+
+    if task == "serve":
+        from recsys_tpu.serve.export import Servable
+        from recsys_tpu.serve.server import make_grpc_server, make_rest_server
+
+        sv = Servable(kv["export_dir"])
+        sv.warmup()
+        port = int(kv.get("port", 8500))
+        rest, batcher = make_rest_server(sv, port)
+        grpc_srv, _ = make_grpc_server(sv, port + 1, batcher)
+        grpc_srv.start()
+        logging.getLogger("recsys_tpu").info(
+            "serving %s on REST:%d gRPC:%d", sv.model_name, port, port + 1)
+        rest.serve_forever()
+        return {}
+
+    model = make_model(cfg.model.name, cfg.criteo, cfg.model)
+
+    data_dir = kv.get("data_dir")
+    if data_dir:
+        shard_paths = sorted(glob.glob(f"{data_dir}/part-r-*.npz"))
+    else:
+        rows = int(kv.get("synthetic_rows", 2_000_000))
+        shard_paths = _synthetic_shards("./synthetic_criteo", rows, 20,
+                                        cfg.criteo)
+    n_eval = max(1, len(shard_paths) // 10)
+    train_paths, eval_paths = shard_paths[:-n_eval], shard_paths[-n_eval:]
+
+    def eval_batches():
+        return loader.ShardSource(
+            eval_paths, cfg.train.batch_size, shuffle=False, num_epochs=1)
+
+    if task == "train":
+        rows_total = sum(
+            len(np.load(p)["label"]) for p in train_paths[:1]
+        ) * len(train_paths)
+        num_steps = cfg.train.num_steps
+        if num_steps < 0:
+            num_steps = cfg.train.num_epochs * rows_total // cfg.train.batch_size
+        src = loader.ShardSource(
+            train_paths, cfg.train.batch_size, seed=cfg.train.seed,
+            num_epochs=-1,
+        )
+        metrics = loop.train_and_evaluate(
+            model, iter(src), eval_batches, cfg.train, num_steps=num_steps)
+        print(metrics)
+        return metrics
+
+    # eval / predict / export need trained weights
+    from recsys_tpu.core.checkpoint import CheckpointManager
+    from recsys_tpu.train.train_state import create_train_state
+    mgr = CheckpointManager(cfg.train.model_dir, cfg.train.keep_checkpoint_max)
+    # checkpoints store (params, model_state, opt_state)
+    ts, _ = create_train_state(model, cfg.train.seed, cfg.train.learning_rate)
+    restored = mgr.restore((ts.params, ts.model_state, ts.opt_state))
+    if restored is not None:
+        (params, model_state, _), step, _ = restored
+        logging.getLogger("recsys_tpu").info("loaded checkpoint step %d", step)
+    else:
+        params, model_state = ts.params, ts.model_state
+        logging.getLogger("recsys_tpu").warning("no checkpoint; fresh params")
+
+    if task == "eval":
+        metrics = loop.evaluate(model, params, model_state, eval_batches(),
+                                max_steps=cfg.train.eval_steps * 10)
+        print(metrics)
+        return metrics
+    if task == "predict":
+        from recsys_tpu.train.train_state import make_predict_step
+        predict = make_predict_step(model)
+        probs = [
+            np.asarray(predict(params, model_state, b))
+            for b in eval_batches()
+        ]
+        out = np.concatenate(probs)
+        print({"num_predictions": len(out), "mean_prob": float(out.mean())})
+        return {"probs": out}
+    if task == "export":
+        from recsys_tpu.serve.export import export_servable
+        d = export_servable(kv.get("export_dir", "./export"), cfg.model.name,
+                            params, model_state, cfg.model, cfg.criteo)
+        print({"export_dir": d})
+        return {"export_dir": d}
+    raise SystemExit(f"unknown task {task}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Serving: export → load → REST/gRPC round trip with AUC parity
+(the grpc_client.py end-to-end check, SURVEY §3.2)."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from recsys_tpu.core.config import CriteoConfig, ModelConfig
+from recsys_tpu.data import criteo
+from recsys_tpu.models.api import make_model
+from recsys_tpu.serve import client as C
+from recsys_tpu.serve.export import Servable, export_servable
+from recsys_tpu.serve.server import make_grpc_server, make_rest_server
+
+SMALL = CriteoConfig(cat_vocabs=tuple([50] * 26))
+MCFG = ModelConfig(name="fm", embedding_dim=8)
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("export"))
+    model = make_model("fm", SMALL, MCFG)
+    params, state = model.init(jax.random.key(0))
+    export_servable(d, "fm", params, state, MCFG, SMALL)
+    return d
+
+
+def _features(n=16):
+    data = criteo.synthetic_criteo(n, SMALL)
+    labels = data.pop("label")
+    return data, labels
+
+
+def test_servable_predict_matches_direct(exported):
+    sv = Servable(exported, buckets=(8, 32))
+    feats, _ = _features(10)   # pads 10 → 32 bucket
+    probs = sv.predict(feats)
+    assert probs.shape == (10,)
+    model = make_model("fm", SMALL, MCFG)
+    params, state = model.init(jax.random.key(0))
+    logits, _ = model.apply(params, state, feats, train=False)
+    direct = np.asarray(jax.nn.sigmoid(logits))
+    np.testing.assert_allclose(probs, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_rest_round_trip(exported):
+    sv = Servable(exported, buckets=(8, 32))
+    server, batcher = make_rest_server(sv, port=18512)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        feats, labels = _features(12)
+        probs = C.rest_predict(18512, feats)
+        assert probs.shape == (12,)
+        stats = C.benchmark_serving(
+            lambda f: C.rest_predict(18512, f), feats, labels,
+            warmup=1, iters=3,
+        )
+        assert stats["latency_ms_mean"] > 0
+        direct = sv.predict(feats)
+        np.testing.assert_allclose(probs, direct, rtol=1e-4, atol=1e-5)
+    finally:
+        server.shutdown()
+        batcher.stop()
+
+
+def test_grpc_round_trip(exported):
+    sv = Servable(exported, buckets=(8, 32))
+    server, batcher = make_grpc_server(sv, port=18513)
+    server.start()
+    try:
+        feats, _ = _features(9)
+        probs = C.grpc_predict(18513, feats)
+        assert probs.shape == (9,)
+        direct = sv.predict(feats)
+        np.testing.assert_allclose(probs, direct, rtol=1e-4, atol=1e-5)
+    finally:
+        server.stop(0)
+        batcher.stop()
+
+
+def test_microbatcher_coalesces(exported):
+    sv = Servable(exported, buckets=(8, 64))
+    from recsys_tpu.serve.server import _MicroBatcher
+    mb = _MicroBatcher(sv, timeout_ms=20.0)
+    feats, _ = _features(4)
+    results = {}
+
+    def call(i):
+        results[i] = mb.predict(feats)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    direct = sv.predict(feats)
+    for i in range(4):
+        np.testing.assert_allclose(results[i], direct, rtol=1e-4, atol=1e-5)
+    mb.stop()

@@ -1,0 +1,90 @@
+"""End-to-end: tiny synthetic Criteo training must beat an AUC floor
+(SURVEY §4d) and checkpoints must round-trip."""
+
+import logging
+
+import jax
+import numpy as np
+
+from recsys_tpu.core.checkpoint import CheckpointManager
+from recsys_tpu.core.config import CriteoConfig, ModelConfig, TrainConfig
+from recsys_tpu.data import criteo
+from recsys_tpu.models.api import make_model
+from recsys_tpu.train import loop, train_state as TS
+
+SMALL = CriteoConfig(cat_vocabs=tuple([100] * 26))
+
+
+def _batches(n_batches, batch_size, start=0):
+    data = criteo.synthetic_criteo(
+        n_batches * batch_size, SMALL, start_row=start
+    )
+    for i in range(n_batches):
+        lo = i * batch_size
+        yield {k: v[lo:lo + batch_size] for k, v in data.items()}
+
+
+def test_fm_learns_synthetic(tmp_path):
+    model = make_model("fm", SMALL, ModelConfig(embedding_dim=8))
+    cfg = TrainConfig(
+        batch_size=256, learning_rate=0.01, model_dir=str(tmp_path / "m"),
+        eval_every_steps=1000, log_every_steps=50, save_checkpoints_steps=1000,
+        eval_steps=8,
+    )
+    train_iter = iter(list(_batches(120, 256)))
+    metrics = loop.train_and_evaluate(
+        model, train_iter, lambda: _batches(8, 256, start=200_000),
+        cfg, num_steps=120,
+    )
+    assert metrics["auc"] > 0.60, metrics
+
+
+def test_deepfm_learns_and_resumes(tmp_path, caplog):
+    caplog.set_level(logging.INFO, logger="recsys_tpu")
+    model = make_model(
+        "deepfm", SMALL, ModelConfig(embedding_dim=8, deep_layers=(32, 16))
+    )
+    cfg = TrainConfig(
+        batch_size=256, learning_rate=0.005, model_dir=str(tmp_path / "m"),
+        eval_every_steps=60, log_every_steps=30, save_checkpoints_steps=60,
+        eval_steps=6,
+    )
+    batches = list(_batches(60, 256))
+    m1 = loop.train_and_evaluate(
+        model, iter(batches), lambda: _batches(6, 256, start=300_000),
+        cfg, num_steps=60,
+    )
+    assert m1["auc"] > 0.58, m1
+    # resume continues from step 60 and does zero extra steps
+    m2 = loop.train_and_evaluate(
+        model, iter([]), lambda: _batches(6, 256, start=300_000),
+        cfg, num_steps=60,
+    )
+    assert "final_loss" in m2
+
+
+def test_checkpoint_roundtrip_and_retention(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), keep_max=2)
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": [np.float32(1.5), np.ones((4,), np.int32)]}
+    for s, metric in [(1, 0.5), (2, 0.9), (3, 0.7)]:
+        mgr.save(s, tree, metric=metric)
+    assert mgr.latest_step() == 3
+    restored, step, _ = mgr.restore(tree)
+    assert step == 3
+    np.testing.assert_array_equal(restored["a"], tree["a"])
+    # retention: only last 2 kept
+    assert mgr.restore(tree, step=1) is None  # pruned
+    import os
+    assert not os.path.exists(str(tmp_path) + "/step_1")
+    # best points at metric 0.9 (step 2)
+    best, bstep, _ = mgr.restore(tree, best=True)
+    assert bstep == 2
+
+
+def test_eval_step_streaming(tmp_path):
+    model = make_model("wide", SMALL, ModelConfig())
+    params, state = model.init(jax.random.key(0))
+    metrics = loop.evaluate(model, params, state, _batches(4, 128))
+    assert metrics["count"] == 512
+    assert 0.0 <= metrics["auc"] <= 1.0

@@ -33,7 +33,9 @@ def main() -> None:
     from recsys_tpu.train import train_state as TS
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+
+    from recsys_tpu.train import fast
 
     criteo_cfg = CriteoConfig()
     model = make_model(
@@ -41,29 +43,34 @@ def main() -> None:
         ModelConfig(embedding_dim=16, deep_layers=(100, 100)),
     )
     ts, tx = TS.create_train_state(model, seed=0, learning_rate=1e-3)
-    step_fn = TS.make_train_step(model, tx)
 
-    # Pre-stage a rotation of device-resident batches so host feeding is off
-    # the measured path (the input pipeline is benchmarked separately).
-    n_rot = 4
-    batches = []
-    for i in range(n_rot):
-        data = criteo.synthetic_criteo(batch_size, criteo_cfg,
-                                       start_row=i * batch_size)
-        batches.append({k: jnp.asarray(v) for k, v in data.items()})
+    # Device-resident dataset + scan-fused steps — the framework's real
+    # training fast path (recsys_tpu.train.fast): per-step batches are
+    # device-side gathers, K steps fuse into one XLA program.
+    data = criteo.synthetic_criteo(max(4 * batch_size, 65536), criteo_cfg)
+    staged = fast.stage_dataset(data)
+    n = len(data["label"])
+    step_fn = fast.make_scanned_train_step(model, tx)
+    rng = np.random.default_rng(0)
+    k = 50
 
-    # warmup/compile
-    for i in range(3):
-        ts, loss = step_fn(ts, batches[i % n_rot])
-    jax.block_until_ready(loss)
+    # warmup/compile. NOTE: sync by fetching the loss VALUE — on remote
+    # (tunneled) devices block_until_ready can return before device work
+    # finishes; a host value fetch is the only hard sync.
+    idx = fast.epoch_index_matrix(n, batch_size, k, rng)
+    ts, loss = step_fn(ts, staged, jnp.asarray(idx))
+    float(loss)
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        ts, loss = step_fn(ts, batches[i % n_rot])
-    jax.block_until_ready(loss)
+    calls = max(1, steps // k)
+    for _ in range(calls):
+        idx = fast.epoch_index_matrix(n, batch_size, k, rng)
+        ts, loss = step_fn(ts, staged, jnp.asarray(idx))
+    final_loss = float(loss)  # hard sync: the chain of donated states
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
-    ex_per_s = batch_size * steps / dt
+    ex_per_s = batch_size * k * calls / dt
     print(json.dumps({
         "metric": "deepfm_criteo_train_examples_per_sec_per_chip",
         "value": round(ex_per_s, 1),

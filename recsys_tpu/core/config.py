@@ -153,6 +153,13 @@ class ModelConfig:
     use_bn: bool = True
     #: compute dtype for the dense towers ('bfloat16' rides the MXU)
     compute_dtype: str = "float32"
+    #: embedding engine: 'fused' (one packed [V, D+1] gather for embeddings
+    #: + wide column; the default, and required by the row-sharded SPMD
+    #: path) or 'hybrid' (one-hot MXU matmuls for small-vocab fields —
+    #: EXPERIMENTAL: numerically verified on CPU, but the one-hot+dot
+    #: pattern currently triggers pathological multi-minute compiles on the
+    #: TPU toolchain in this environment).
+    emb_engine: str = "fused"
 
 
 @dataclass(frozen=True)

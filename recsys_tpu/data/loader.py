@@ -41,6 +41,8 @@ class ShardSource:
         seed: int = 0,
         num_epochs: int = -1,
         keys: tuple[str, ...] | None = None,
+        cache: bool = True,
+        cache_bytes_limit: int = 8 << 30,
     ):
         if not shard_paths:
             raise ValueError("no shards")
@@ -50,6 +52,24 @@ class ShardSource:
         self.seed = seed
         self.num_epochs = num_epochs
         self.keys = keys
+        self.cache = cache
+        self.cache_bytes_limit = cache_bytes_limit
+        self._cache: dict[int, dict[str, np.ndarray]] = {}
+        self._cache_bytes = 0
+
+    def _load_shard(self, si: int) -> dict[str, np.ndarray]:
+        cached = self._cache.get(si)
+        if cached is not None:
+            return cached
+        with np.load(self.shard_paths[si]) as z:
+            keys = self.keys or tuple(z.files)
+            data = {k: z[k] for k in keys}
+        if self.cache:
+            nbytes = sum(v.nbytes for v in data.values())
+            if self._cache_bytes + nbytes <= self.cache_bytes_limit:
+                self._cache[si] = data
+                self._cache_bytes += nbytes
+        return data
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         epoch = 0
@@ -60,9 +80,7 @@ class ShardSource:
                 rng.shuffle(order)
             carry: dict[str, np.ndarray] | None = None
             for si in order:
-                with np.load(self.shard_paths[si]) as z:
-                    keys = self.keys or tuple(z.files)
-                    data = {k: z[k] for k in keys}
+                data = self._load_shard(int(si))
                 n = len(next(iter(data.values())))
                 if self.shuffle:
                     perm = rng.permutation(n)

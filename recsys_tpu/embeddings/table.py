@@ -72,6 +72,37 @@ def to_global_ids(ids: jax.Array, offsets: np.ndarray) -> jax.Array:
     return ids + jnp.asarray(offsets)[None, :]
 
 
+# ---------------------------------------------------------------------------
+# Fused table: embedding + wide weight in one row → ONE gather per step.
+#
+# Profiling on v5e showed the per-row cost of a gather is latency-bound and
+# nearly independent of row width (a [319k] 1-float wide gather costs ~90% of
+# the [319k,16] embedding gather, and adds its own backward scatter). Packing
+# the wide/linear weight as column D of the embedding row removes an entire
+# gather + scatter per step (~33% of total step time on the DeepFM hot loop).
+# ---------------------------------------------------------------------------
+
+def fused_init(key, cfg: EmbeddingConfig) -> dict:
+    """[V, D+1] packed table: cols 0..D-1 embedding (truncated-normal
+    1/sqrt(D)), col D wide weight (glorot over the virtual [V,1] kernel).
+    Plus the wide bias scalar."""
+    v = pad_rows(cfg.total_vocab)
+    dtype = jnp.dtype(cfg.dtype)
+    k1, k2 = jax.random.split(key)
+    emb = nn.embedding_init(k1, (v, cfg.embedding_dim), dtype)
+    wide = nn.glorot_uniform(k2, (v, 1), dtype)
+    return {
+        "table": jnp.concatenate([emb, wide], axis=1),
+        "b": jnp.zeros((), dtype),
+    }
+
+
+def fused_lookup(params: dict, gids: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[B, F] → (emb [B, F, D], wide [B, F]). One gather."""
+    rows = jnp.take(params["table"], gids, axis=0)
+    return rows[:, :, :-1], rows[:, :, -1]
+
+
 def embedding_lookup(params: dict, gids: jax.Array) -> jax.Array:
     """[B, F] global ids → [B, F, D]. One fused gather."""
     return jnp.take(params["table"], gids, axis=0)

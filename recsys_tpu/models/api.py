@@ -32,15 +32,22 @@ from recsys_tpu.embeddings import table as emb_table
 
 @dataclass(frozen=True)
 class EmbOps:
-    """Pluggable embedding access: local (replicated) or sharded."""
+    """Pluggable embedding access: local (replicated) or sharded.
+
+    ``embed_wide`` is the fused fast path: one [V, D+1] table gather
+    returning (embeddings [B,F,D], per-field wide weights [B,F]) — see
+    `recsys_tpu.embeddings.table.fused_lookup` for why this matters on TPU.
+    """
 
     embed: Callable[[dict, jax.Array], jax.Array]
     linear: Callable[[dict, jax.Array], jax.Array]
+    embed_wide: Callable[[dict, jax.Array], tuple[jax.Array, jax.Array]] = None
 
 
 LOCAL_EMB_OPS = EmbOps(
     embed=lambda p, gids: emb_table.embedding_lookup(p, gids),
     linear=lambda p, gids: emb_table.linear_sum(p, gids),
+    embed_wide=lambda p, gids: emb_table.fused_lookup(p, gids),
 )
 
 

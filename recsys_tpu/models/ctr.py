@@ -33,9 +33,11 @@ def _squeeze_logits(x: jax.Array) -> jax.Array:
 
 
 class _CriteoBase:
-    """Shared wiring: packed tables + offsets for the 39 Criteo fields."""
+    """Shared wiring: embedding engine + offsets for the 39 Criteo fields."""
 
     def __init__(self, criteo: CriteoConfig, cfg: ModelConfig):
+        from recsys_tpu.embeddings import hybrid
+
         self.criteo = criteo
         self.cfg = cfg
         self.offsets = emb_table.field_offsets(criteo.field_vocab_sizes)
@@ -44,16 +46,25 @@ class _CriteoBase:
             embedding_dim=cfg.embedding_dim,
         )
         self.num_fields = len(criteo.field_vocab_sizes)
+        self.engine = hybrid.make_engine(self.emb_cfg, cfg.emb_engine)
 
     def gids(self, batch) -> jax.Array:
         return emb_table.to_global_ids(batch["ids"], self.offsets)
 
-    def init_tables(self, key) -> dict:
-        k1, k2 = jax.random.split(key)
-        return {
-            "embedding": emb_table.embedding_init(k1, self.emb_cfg),
-            "wide": emb_table.linear_init(k2, self.criteo.field_vocab_sizes),
-        }
+    def init_fused(self, key) -> dict:
+        """Engine-owned tables (+ shared wide bias)."""
+        params = self.engine.init(key)
+        if "b" not in params:
+            params = dict(params, b=jax.numpy.zeros((), jax.numpy.float32))
+        return {"tables": params}
+
+    def lookup(self, params, batch, emb_ops: EmbOps):
+        """(emb [B,F,D], wide [B,F]) — engine fast path by default; an
+        explicitly-passed EmbOps (the SPMD sharded path, which requires the
+        'fused' engine layout) overrides it."""
+        if emb_ops is not LOCAL_EMB_OPS and emb_ops.embed_wide is not None:
+            return emb_ops.embed_wide(params["tables"], self.gids(batch))
+        return self.engine.lookup(params["tables"], batch["ids"])
 
 
 # ---------------------------------------------------------------------------
@@ -75,15 +86,16 @@ def make_fm(criteo: CriteoConfig = CriteoConfig(),
 
     def init(key):
         k1, k2 = jax.random.split(key)
-        params = base.init_tables(k1)
+        params = base.init_fused(k1)
         params["final"] = _final_dense_init(k2, 2)
         return params, {}
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        gids = base.gids(batch)
-        y_1d = jax.nn.relu(emb_ops.linear(params["wide"], gids))   # [B,1]
-        emb = emb_ops.embed(params["embedding"], gids)             # [B,F,D]
+        emb, wide = base.lookup(params, batch, emb_ops)
+        y_1d = jax.nn.relu(
+            jnp.sum(wide, axis=1, keepdims=True) + params["tables"]["b"]
+        )
         y_2d = interactions.fm_pairwise(emb)                       # [B,1]
         logits = nn.dense(params["final"], jnp.concatenate([y_1d, y_2d], -1))
         return _squeeze_logits(logits), state
@@ -111,7 +123,7 @@ def make_deepfm(criteo: CriteoConfig = CriteoConfig(),
 
     def init(key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        params = base.init_tables(k1)
+        params = base.init_fused(k1)
         mlp_p, mlp_s = nn.mlp_init(k2, flat_dim, cfg.deep_layers, cfg.use_bn)
         params["dnn"] = mlp_p
         params["dnn_out"] = nn.dense_init(k3, cfg.deep_layers[-1], 1)
@@ -120,9 +132,10 @@ def make_deepfm(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        gids = base.gids(batch)
-        y_1d = jax.nn.relu(emb_ops.linear(params["wide"], gids))
-        emb = emb_ops.embed(params["embedding"], gids)
+        emb, wide = base.lookup(params, batch, emb_ops)
+        y_1d = jax.nn.relu(
+            jnp.sum(wide, axis=1, keepdims=True) + params["tables"]["b"]
+        )
         y_2d = interactions.fm_pairwise(emb)
         h, dnn_s = nn.mlp_apply(
             params["dnn"], state["dnn"], emb.reshape(emb.shape[0], flat_dim),
@@ -159,7 +172,7 @@ def make_dcn(criteo: CriteoConfig = CriteoConfig(),
 
     def init(key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        params = base.init_tables(k1)
+        params = base.init_fused(k1)
         params["cross"] = interactions.cross_init(k2, flat_dim, cfg.cross_layers)
         mlp_p, mlp_s = nn.mlp_init(k3, flat_dim, cfg.deep_layers, cfg.use_bn)
         params["dnn"] = mlp_p
@@ -168,8 +181,7 @@ def make_dcn(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        gids = base.gids(batch)
-        emb = emb_ops.embed(params["embedding"], gids)
+        emb, _ = base.lookup(params, batch, emb_ops)
         x0 = emb.reshape(emb.shape[0], flat_dim)
         xl = interactions.cross_apply(params["cross"], x0)
         h, dnn_s = nn.mlp_apply(
@@ -202,14 +214,15 @@ def make_xdeepfm(criteo: CriteoConfig = CriteoConfig(),
     base = _CriteoBase(criteo, cfg)
     flat_dim = base.num_fields * cfg.embedding_dim
     n_cont = len(criteo.cont_boundaries)
-    cat_offsets = emb_table.field_offsets(criteo.cat_vocabs)
 
     def init(key):
         ks = jax.random.split(key, 7)
-        params = {"embedding": emb_table.embedding_init(ks[0], base.emb_cfg)}
-        # linear branch: dense weights for cont values + packed cat weights
+        # fused table: wide column serves the 26 indicator one-hots; the
+        # wide entries of the 13 bucketized cont fields exist but are unused
+        # (the linear branch uses the raw log-scaled values instead,
+        # xdeepfm/xdeepfm.py:82).
+        params = base.init_fused(ks[0])
         params["lin_dense"] = nn.dense_init(ks[1], n_cont, 1)
-        params["lin_cat"] = emb_table.linear_init(ks[2], criteo.cat_vocabs)
         params["cin"] = interactions.cin_init(ks[3], base.num_fields,
                                               cfg.cin_layers)
         params["cin_out"] = nn.dense_init(ks[4], sum(cfg.cin_layers), 1)
@@ -222,15 +235,12 @@ def make_xdeepfm(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        gids = base.gids(batch)
-        cat_gids = batch["ids"][:, n_cont:] + jnp.asarray(cat_offsets)[None, :]
+        emb, wide = base.lookup(params, batch, emb_ops)           # [B,F,D]
         lin = (
             nn.dense(params["lin_dense"], batch["dense"])
-            + emb_ops.linear(params["lin_cat"], cat_gids)
+            + jnp.sum(wide[:, n_cont:], axis=1, keepdims=True)
         )
         linear_y = jax.nn.relu(lin)
-
-        emb = emb_ops.embed(params["embedding"], gids)            # [B,F,D]
         cin_pool = interactions.cin_apply(params["cin"], emb)
         cin_y = nn.dense(params["cin_out"], cin_pool, activation=jax.nn.relu)
 
@@ -261,7 +271,7 @@ def make_dnn(criteo: CriteoConfig = CriteoConfig(),
 
     def init(key):
         k1, k2, k3 = jax.random.split(key, 3)
-        params = {"embedding": emb_table.embedding_init(k1, base.emb_cfg)}
+        params = base.init_fused(k1)
         mlp_p, mlp_s = nn.mlp_init(k2, flat_dim, cfg.deep_layers, cfg.use_bn)
         params["dnn"] = mlp_p
         params["final"] = nn.dense_init(k3, cfg.deep_layers[-1], 1)
@@ -269,8 +279,7 @@ def make_dnn(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        gids = base.gids(batch)
-        emb = emb_ops.embed(params["embedding"], gids)
+        emb, _ = base.lookup(params, batch, emb_ops)
         h, dnn_s = nn.mlp_apply(
             params["dnn"], state["dnn"], emb.reshape(emb.shape[0], flat_dim),
             train=train, dropout_rate=cfg.dropout, rng=rng,

@@ -33,13 +33,19 @@ from recsys_tpu.train import optim
 
 #: EmbOps used *inside* shard_map: params leaves arrive pre-sharded, so the
 #: lookups run on local rows and psum over the model axis.
+def _sharded_embed_wide(p, gids):
+    rows = SE.sharded_embedding_lookup(p["table"], gids)  # [B,F,D+1]
+    return rows[:, :, :-1], rows[:, :, -1]
+
+
 SHARDED_EMB_OPS = EmbOps(
     embed=lambda p, gids: SE.sharded_embedding_lookup(p["table"], gids),
     linear=lambda p, gids: SE.sharded_linear_sum(p["w"], p["b"], gids),
+    embed_wide=_sharded_embed_wide,
 )
 
 #: param-subtree names that hold packed tables (models/ctr.py convention).
-_TABLE_KEYS = {"embedding"}
+_TABLE_KEYS = {"embedding", "tables"}
 _WIDE_KEYS = {"wide", "lin_cat"}
 
 

@@ -82,18 +82,37 @@ def main(argv: list[str] | None = None) -> dict:
             eval_paths, cfg.train.batch_size, shuffle=False, num_epochs=1)
 
     if task == "train":
+        import os
+        total_bytes = sum(os.path.getsize(p) for p in train_paths)
         rows_total = sum(
             len(np.load(p)["label"]) for p in train_paths[:1]
         ) * len(train_paths)
         num_steps = cfg.train.num_steps
         if num_steps < 0:
             num_steps = cfg.train.num_epochs * rows_total // cfg.train.batch_size
-        src = loader.ShardSource(
-            train_paths, cfg.train.batch_size, seed=cfg.train.seed,
-            num_epochs=-1,
-        )
-        metrics = loop.train_and_evaluate(
-            model, iter(src), eval_batches, cfg.train, num_steps=num_steps)
+
+        # Fast path: dataset fits in HBM → stage it on device and run
+        # scan-fused steps (recsys_tpu.train.fast). Streaming path otherwise.
+        hbm_budget = int(kv.get("hbm_data_budget", 4 << 30))
+        if total_bytes < hbm_budget and "--streaming" not in argv:
+            def load_all(paths):
+                parts = [dict(np.load(p)) for p in paths]
+                return {
+                    k: np.concatenate([p[k] for p in parts])
+                    for k in parts[0]
+                }
+            metrics = loop.train_and_evaluate_fast(
+                model, load_all(train_paths), load_all(eval_paths),
+                cfg.train, num_steps=num_steps,
+            )
+        else:
+            src = loader.ShardSource(
+                train_paths, cfg.train.batch_size, seed=cfg.train.seed,
+                num_epochs=-1,
+            )
+            metrics = loop.train_and_evaluate(
+                model, iter(src), eval_batches, cfg.train,
+                num_steps=num_steps)
         print(metrics)
         return metrics
 

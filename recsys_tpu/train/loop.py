@@ -119,3 +119,84 @@ def train_and_evaluate(
     last_metrics["train_seconds"] = time.time() - t0
     last_metrics["final_loss"] = losses[-1] if losses else float("nan")
     return last_metrics
+
+
+def train_and_evaluate_fast(
+    model: Model,
+    train_data: dict[str, np.ndarray],
+    eval_data: dict[str, np.ndarray],
+    cfg: TrainConfig,
+    *,
+    num_steps: int,
+    steps_per_call: int = 50,
+    resume: bool = True,
+) -> dict[str, float]:
+    """Fast-path driver: whole dataset in HBM, scan-fused steps
+    (recsys_tpu.train.fast), periodic eval + checkpointing as in
+    `train_and_evaluate`. Use when the preprocessed dataset fits on chip."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.train import fast
+
+    ts, tx = TS.create_train_state(model, cfg.seed, cfg.learning_rate)
+    ckpt = CheckpointManager(cfg.model_dir, cfg.keep_checkpoint_max)
+    start_step = 0
+    if resume:
+        restored = ckpt.restore((ts.params, ts.model_state, ts.opt_state))
+        if restored is not None:
+            (params, model_state, opt_state), start_step, _ = restored
+            ts = ts._replace(
+                params=jax.tree.map(jnp.asarray, params),
+                model_state=jax.tree.map(jnp.asarray, model_state),
+                opt_state=jax.tree.map(jnp.asarray, opt_state),
+                step=jnp.asarray(start_step, jnp.int32),
+            )
+            log.info("resumed from step %d", start_step)
+
+    staged_train = fast.stage_dataset(train_data)
+    staged_eval = fast.stage_dataset(eval_data)
+    n_train = len(train_data["label"])
+    n_eval = len(eval_data["label"])
+    step_fn = fast.make_scanned_train_step(model, tx)
+    eval_fn = fast.make_scanned_eval(model)
+    rng = np.random.default_rng(cfg.seed)
+
+    def run_eval():
+        bs = cfg.batch_size
+        n_batches = min(cfg.eval_steps, max(1, n_eval // bs))
+        # sequential (deterministic) coverage of the eval set
+        idx = (np.arange(n_batches * bs) % n_eval).reshape(n_batches, bs)
+        mstate = eval_fn(ts.params, ts.model_state, staged_eval,
+                         jnp.asarray(idx, jnp.int32),
+                         M.init_binary_metrics())
+        return M.finalize_binary_metrics(mstate)
+
+    t0 = time.time()
+    window_t0, window_steps = t0, start_step
+    done = start_step
+    last_metrics: dict[str, float] = {}
+    loss_v = float("nan")
+    next_eval = ((done // cfg.eval_every_steps) + 1) * cfg.eval_every_steps
+    while done < num_steps:
+        k = min(steps_per_call, num_steps - done, max(1, next_eval - done))
+        idx = fast.epoch_index_matrix(n_train, cfg.batch_size, k, rng)
+        ts, loss = step_fn(ts, staged_train, jnp.asarray(idx))
+        done += k
+        if done >= next_eval or done >= num_steps:
+            loss_v = float(loss)
+            now = time.time()
+            rate = (done - window_steps) / max(now - window_t0, 1e-9)
+            log.info("step %d loss %.5f  %.1f steps/s  %.0f ex/s",
+                     done, loss_v, rate, rate * cfg.batch_size)
+            window_t0, window_steps = now, done
+            last_metrics = run_eval()
+            log.info("eval @ step %d: auc %.5f logloss %.5f acc %.5f",
+                     done, last_metrics["auc"], last_metrics["logloss"],
+                     last_metrics["accuracy"])
+            ckpt.save(done, (ts.params, ts.model_state, ts.opt_state),
+                      metric=last_metrics.get("auc"))
+            next_eval += cfg.eval_every_steps
+
+    last_metrics["train_seconds"] = time.time() - t0
+    last_metrics["final_loss"] = loss_v
+    return last_metrics

@@ -33,7 +33,10 @@ def main() -> None:
     from recsys_tpu.train import train_state as TS
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    # 200 steps is plenty for a steady-state rate (~5s of device time at
+    # batch 8192); keeping the default short bounds total wall time by the
+    # tunnel compile, not the measurement.
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200
 
     from recsys_tpu.train import fast
 
@@ -50,22 +53,22 @@ def main() -> None:
     data = criteo.synthetic_criteo(max(4 * batch_size, 65536), criteo_cfg)
     staged = fast.stage_dataset(data)
     n = len(data["label"])
-    step_fn = fast.make_scanned_train_step(model, tx)
-    rng = np.random.default_rng(0)
     k = 50
+    # Batch indices are generated ON DEVICE (recsys_tpu.train.fast devgen
+    # path): the steady-state loop moves zero bytes host→device, so the
+    # measurement reflects chip throughput, not tunnel bandwidth.
+    step_fn = fast.make_scanned_train_step_devgen(model, tx, n, batch_size)
 
     # warmup/compile. NOTE: sync by fetching the loss VALUE — on remote
     # (tunneled) devices block_until_ready can return before device work
     # finishes; a host value fetch is the only hard sync.
-    idx = fast.epoch_index_matrix(n, batch_size, k, rng)
-    ts, loss = step_fn(ts, staged, jnp.asarray(idx))
+    ts, loss = step_fn(ts, staged, k)
     float(loss)
 
     t0 = time.perf_counter()
     calls = max(1, steps // k)
     for _ in range(calls):
-        idx = fast.epoch_index_matrix(n, batch_size, k, rng)
-        ts, loss = step_fn(ts, staged, jnp.asarray(idx))
+        ts, loss = step_fn(ts, staged, k)
     final_loss = float(loss)  # hard sync: the chain of donated states
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)

@@ -44,9 +44,9 @@ def epoch_index_matrix(n_rows: int, batch_size: int, steps: int, rng) -> np.ndar
     return rng.integers(0, n_rows, size=(steps, batch_size)).astype(np.int32)
 
 
-def make_scanned_train_step(model: Model, tx, unroll: int = 1):
-    """jitted ``steps(ts, data, idx[K,B]) -> (ts, mean_loss)`` — K fused
-    optimizer steps per dispatch."""
+def _make_step_body(model: Model, tx):
+    """Shared scan body: one optimizer step on a device-side gathered batch."""
+    import optax
 
     def loss_fn(params, model_state, batch, rng):
         logits, new_state = model.apply(
@@ -54,24 +54,62 @@ def make_scanned_train_step(model: Model, tx, unroll: int = 1):
         )
         return sigmoid_ce(logits, batch["label"]), new_state
 
-    import optax
+    def body(ts: TrainState, data, idx):
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        rng = jax.random.fold_in(ts.rng, ts.step)
+        (loss, new_ms), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.params, ts.model_state, batch, rng)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        return (
+            TrainState(new_params, new_ms, new_opt, ts.step + 1, ts.rng),
+            loss,
+        )
+
+    return body
+
+
+def make_scanned_train_step(model: Model, tx, unroll: int = 1):
+    """jitted ``steps(ts, data, idx[K,B]) -> (ts, mean_loss)`` — K fused
+    optimizer steps per dispatch, batch indices supplied by the host
+    (deterministic; used by tests and the epoch-exact training path)."""
+    body = _make_step_body(model, tx)
 
     @partial(jax.jit, donate_argnums=(0,))
     def steps(ts: TrainState, data, idx_matrix):
-        def body(ts, idx):
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-            rng = jax.random.fold_in(ts.rng, ts.step)
-            (loss, new_ms), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(ts.params, ts.model_state, batch, rng)
-            updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-            new_params = optax.apply_updates(ts.params, updates)
-            return (
-                TrainState(new_params, new_ms, new_opt, ts.step + 1, ts.rng),
-                loss,
-            )
+        ts, losses = jax.lax.scan(
+            lambda c, i: body(c, data, i), ts, idx_matrix, unroll=unroll
+        )
+        return ts, jnp.mean(losses)
 
-        ts, losses = jax.lax.scan(body, ts, idx_matrix, unroll=unroll)
+    return steps
+
+
+def make_scanned_train_step_devgen(
+    model: Model, tx, n_rows: int, batch_size: int, unroll: int = 1
+):
+    """jitted ``steps(ts, data, k) -> (ts, mean_loss)`` with batch indices
+    generated ON DEVICE (with-replacement, `jax.random.randint` folded from
+    the train-state PRNG) — zero host→device traffic in the steady state.
+
+    On a tunneled/remote chip the [K, B] int32 index upload of the
+    idx-matrix variant costs far more than the fused steps themselves;
+    this variant chains dispatches with nothing but a tiny handle graph,
+    and sampling semantics match ``epoch_index_matrix`` (with-replacement
+    shuffling, statistically equivalent at scale)."""
+    body = _make_step_body(model, tx)
+
+    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def steps(ts: TrainState, data, k: int):
+        def scan_body(ts, _):
+            ikey = jax.random.fold_in(ts.rng, 2 * ts.step + 1)
+            idx = jax.random.randint(ikey, (batch_size,), 0, n_rows,
+                                     dtype=jnp.int32)
+            return body(ts, data, idx)
+
+        ts, losses = jax.lax.scan(scan_body, ts, None, length=k,
+                                  unroll=unroll)
         return ts, jnp.mean(losses)
 
     return steps

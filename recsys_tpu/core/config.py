@@ -153,13 +153,13 @@ class ModelConfig:
     use_bn: bool = True
     #: compute dtype for the dense towers ('bfloat16' rides the MXU)
     compute_dtype: str = "float32"
-    #: embedding engine: 'fused' (one packed [V, D+1] gather for embeddings
-    #: + wide column; the default, and required by the row-sharded SPMD
-    #: path) or 'hybrid' (one-hot MXU matmuls for small-vocab fields —
-    #: EXPERIMENTAL: numerically verified on CPU, but the one-hot+dot
-    #: pattern currently triggers pathological multi-minute compiles on the
-    #: TPU toolchain in this environment).
-    emb_engine: str = "fused"
+    #: embedding engine (recsys_tpu.embeddings.engines): 'split' (default —
+    #: small-vocab fields via one MXU one-hot matmul, big fields via packed
+    #: gather + Pallas scatter backward) or 'fused' (everything through the
+    #: single packed gather).
+    emb_engine: str = "split"
+    #: vocab-size cutoff between the split engine's matmul and gather paths
+    split_threshold: int = 2048
 
 
 @dataclass(frozen=True)

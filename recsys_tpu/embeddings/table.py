@@ -32,6 +32,7 @@ import numpy as np
 
 from recsys_tpu.core.config import EmbeddingConfig
 from recsys_tpu.ops import nn
+from recsys_tpu.ops import pallas_kernels as pk
 
 
 def field_offsets(field_vocab_sizes: tuple[int, ...]) -> np.ndarray:
@@ -97,15 +98,41 @@ def fused_init(key, cfg: EmbeddingConfig) -> dict:
     }
 
 
+def table_gather(table: jax.Array, gids: jax.Array) -> jax.Array:
+    """Packed-table row gather with the TPU-fast backward.
+
+    On TPU the autodiff transpose of ``jnp.take`` lowers to an XLA
+    scatter-add whose emitter processes duplicate row-updates essentially
+    serially (~20 ms/step at batch 8192×39 — >80% of DeepFM step time,
+    tools/profile_step.py). `pk.embedding_lookup_vjp` keeps the forward as
+    XLA's native gather but routes the backward through the Pallas
+    sorted-segment one-hot-matmul scatter (ops/pallas_kernels.py). Off-TPU
+    (CPU tests) the plain take is faster than interpreting the kernel.
+    """
+    if jax.default_backend() == "tpu":
+        return pk.embedding_lookup_vjp(table, gids)
+    return jnp.take(table, gids, axis=0)
+
+
+def table_gather_flat(table_flat: jax.Array, gids: jax.Array,
+                      num_rows: int, width: int) -> jax.Array:
+    """`table_gather` for flat-stored tables: gradients leave the backward
+    already flat (dense 1-D layout), so optimizer passes never touch the
+    lane-padded 2-D layout. See `table_gather` for the TPU/CPU split."""
+    if jax.default_backend() == "tpu":
+        return pk.embedding_lookup_flat_vjp(table_flat, gids, num_rows, width)
+    return jnp.take(table_flat.reshape(num_rows, width), gids, axis=0)
+
+
 def fused_lookup(params: dict, gids: jax.Array) -> tuple[jax.Array, jax.Array]:
     """[B, F] → (emb [B, F, D], wide [B, F]). One gather."""
-    rows = jnp.take(params["table"], gids, axis=0)
+    rows = table_gather(params["table"], gids)
     return rows[:, :, :-1], rows[:, :, -1]
 
 
 def embedding_lookup(params: dict, gids: jax.Array) -> jax.Array:
     """[B, F] global ids → [B, F, D]. One fused gather."""
-    return jnp.take(params["table"], gids, axis=0)
+    return table_gather(params["table"], gids)
 
 
 def linear_sum(params: dict, gids: jax.Array) -> jax.Array:

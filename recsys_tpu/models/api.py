@@ -22,7 +22,7 @@ replicated tables (default) or row-sharded tables inside `shard_map`
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Callable
 
 import jax
@@ -34,20 +34,23 @@ from recsys_tpu.embeddings import table as emb_table
 class EmbOps:
     """Pluggable embedding access: local (replicated) or sharded.
 
-    ``embed_wide`` is the fused fast path: one [V, D+1] table gather
-    returning (embeddings [B,F,D], per-field wide weights [B,F]) — see
-    `recsys_tpu.embeddings.table.fused_lookup` for why this matters on TPU.
+    ``sharded=True`` tells engine-backed models (the CTR zoo) to route table
+    access through ``engine.lookup_sharded`` — the dedup + all-to-all path
+    over the 'model' mesh axis (recsys_tpu.parallel.sharded_embedding); the
+    ``embed``/``linear`` callables serve models that own raw tables (DIN,
+    wide). ``a2a_exact`` sizes the all-to-all capacity for the worst case
+    (lossless; used by equivalence tests).
     """
 
     embed: Callable[[dict, jax.Array], jax.Array]
     linear: Callable[[dict, jax.Array], jax.Array]
-    embed_wide: Callable[[dict, jax.Array], tuple[jax.Array, jax.Array]] = None
+    sharded: bool = False
+    a2a_exact: bool = False
 
 
 LOCAL_EMB_OPS = EmbOps(
     embed=lambda p, gids: emb_table.embedding_lookup(p, gids),
     linear=lambda p, gids: emb_table.linear_sum(p, gids),
-    embed_wide=lambda p, gids: emb_table.fused_lookup(p, gids),
 )
 
 
@@ -56,6 +59,9 @@ class Model:
     name: str
     init: Callable[[jax.Array], tuple[Any, Any]]
     apply: Callable[..., tuple[jax.Array, Any]]
+    #: static facts other subsystems need (e.g. ``emb_width`` = D+1, used by
+    #: the SPMD path to view flat-stored tables as [rows, width]).
+    meta: dict = field(default_factory=dict)
 
 
 _REGISTRY: dict[str, Callable] = {}

@@ -36,7 +36,7 @@ class _CriteoBase:
     """Shared wiring: embedding engine + offsets for the 39 Criteo fields."""
 
     def __init__(self, criteo: CriteoConfig, cfg: ModelConfig):
-        from recsys_tpu.embeddings import hybrid
+        from recsys_tpu.embeddings import engines
 
         self.criteo = criteo
         self.cfg = cfg
@@ -46,7 +46,12 @@ class _CriteoBase:
             embedding_dim=cfg.embedding_dim,
         )
         self.num_fields = len(criteo.field_vocab_sizes)
-        self.engine = hybrid.make_engine(self.emb_cfg, cfg.emb_engine)
+        self.engine = engines.make_engine(self.emb_cfg, cfg.emb_engine,
+                                          threshold=cfg.split_threshold)
+
+    @property
+    def meta(self) -> dict:
+        return {"emb_width": self.cfg.embedding_dim + 1}
 
     def gids(self, batch) -> jax.Array:
         return emb_table.to_global_ids(batch["ids"], self.offsets)
@@ -59,11 +64,12 @@ class _CriteoBase:
         return {"tables": params}
 
     def lookup(self, params, batch, emb_ops: EmbOps):
-        """(emb [B,F,D], wide [B,F]) — engine fast path by default; an
-        explicitly-passed EmbOps (the SPMD sharded path, which requires the
-        'fused' engine layout) overrides it."""
-        if emb_ops is not LOCAL_EMB_OPS and emb_ops.embed_wide is not None:
-            return emb_ops.embed_wide(params["tables"], self.gids(batch))
+        """(emb [B,F,D], wide [B,F]) — local engine fast path by default; an
+        EmbOps with ``sharded=True`` (the SPMD path inside shard_map) routes
+        through the engine's dedup + all-to-all sharded lookup."""
+        if emb_ops.sharded:
+            return self.engine.lookup_sharded(
+                params["tables"], batch["ids"], exact=emb_ops.a2a_exact)
         return self.engine.lookup(params["tables"], batch["ids"])
 
 
@@ -100,7 +106,7 @@ def make_fm(criteo: CriteoConfig = CriteoConfig(),
         logits = nn.dense(params["final"], jnp.concatenate([y_1d, y_2d], -1))
         return _squeeze_logits(logits), state
 
-    return Model("fm", init, apply)
+    return Model("fm", init, apply, meta=base.meta)
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +153,7 @@ def make_deepfm(criteo: CriteoConfig = CriteoConfig(),
         )
         return _squeeze_logits(logits), {"dnn": dnn_s}
 
-    return Model("deepfm", init, apply)
+    return Model("deepfm", init, apply, meta=base.meta)
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +197,7 @@ def make_dcn(criteo: CriteoConfig = CriteoConfig(),
         logits = nn.dense(params["final"], jnp.concatenate([h, xl], -1))
         return _squeeze_logits(logits), {"dnn": dnn_s}
 
-    return Model("dcn", init, apply)
+    return Model("dcn", init, apply, meta=base.meta)
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +261,7 @@ def make_xdeepfm(criteo: CriteoConfig = CriteoConfig(),
         )
         return _squeeze_logits(logits), {"dnn": dnn_s}
 
-    return Model("xdeepfm", init, apply)
+    return Model("xdeepfm", init, apply, meta=base.meta)
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +293,7 @@ def make_dnn(criteo: CriteoConfig = CriteoConfig(),
         logits = nn.dense(params["final"], h)
         return _squeeze_logits(logits), {"dnn": dnn_s}
 
-    return Model("dnn", init, apply)
+    return Model("dnn", init, apply, meta=base.meta)
 
 
 # ---------------------------------------------------------------------------

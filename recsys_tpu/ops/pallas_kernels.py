@@ -217,3 +217,33 @@ def embedding_lookup_vjp(table: jax.Array, gids: jax.Array) -> jax.Array:
     """[B, F] packed global ids → [B, F, W] rows. Forward = XLA gather;
     backward = `embedding_grad` (Pallas tiled one-hot scatter)."""
     return _lookup(table, gids, table.shape[0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _lookup_flat(table_flat, gids, num_rows, width):
+    return jnp.take(table_flat.reshape(num_rows, width), gids, axis=0)
+
+
+def _lookup_flat_fwd(table_flat, gids, num_rows, width):
+    return _lookup_flat(table_flat, gids, num_rows, width), gids
+
+
+def _lookup_flat_bwd(num_rows, width, gids, ct):
+    # reshape to flat HERE so the optimizer math downstream runs on the
+    # dense 1-D layout — a 2-D [V, 17] cotangent would drag every Adam
+    # elementwise pass onto the lane-padded T(8,128) layout (7.5x traffic).
+    # The barrier stops XLA from fusing that math back into the padded-2D
+    # producer side of the relayout copy (measured: 2 extra [V,17] padded
+    # passes, ~2 ms/step at batch 8192 without it).
+    flat = embedding_grad(gids, ct, num_rows).reshape(-1)
+    return jax.lax.optimization_barrier(flat), None
+
+
+_lookup_flat.defvjp(_lookup_flat_fwd, _lookup_flat_bwd)
+
+
+def embedding_lookup_flat_vjp(table_flat: jax.Array, gids: jax.Array,
+                              num_rows: int, width: int) -> jax.Array:
+    """Flat-stored [V·W] table + [B, F] ids → [B, F, W] rows. Forward = XLA
+    gather on the 2-D view; backward = Pallas scatter, returned flat."""
+    return _lookup_flat(table_flat, gids, num_rows, width)

@@ -8,8 +8,8 @@ This is the multi-chip story (SURVEY §2.3 / §5.8): a 2-D
   state — the genuine model parallelism a CTR workload needs);
 - gradients all-reduce over ``data`` via an explicit ``psum`` (the NCCL
   MirroredStrategy replacement, deepfm/deepfm.py:159-169), while embedding
-  lookups reconstruct full activations with a ``psum`` over ``model``
-  (see `recsys_tpu.parallel.sharded_embedding`).
+  lookups run the dedup + all-to-all exchange over ``model``
+  (see `recsys_tpu.parallel.sharded_embedding.a2a_embedding_lookup`).
 
 The SAME model bodies run here as in the single-chip path — only the
 `EmbOps` plumbing changes — so sharded-vs-unsharded equivalence is testable
@@ -31,29 +31,34 @@ from recsys_tpu.models.api import EmbOps, Model
 from recsys_tpu.parallel import sharded_embedding as SE
 from recsys_tpu.train import optim
 
-#: EmbOps used *inside* shard_map: params leaves arrive pre-sharded, so the
-#: lookups run on local rows and psum over the model axis.
-def _sharded_embed_wide(p, gids):
-    rows = SE.sharded_embedding_lookup(p["table"], gids)  # [B,F,D+1]
-    return rows[:, :, :-1], rows[:, :, -1]
+def make_sharded_emb_ops(exact: bool = False) -> EmbOps:
+    """EmbOps used *inside* shard_map: params leaves arrive pre-sharded.
+    Engine-backed models route through ``engine.lookup_sharded`` (dedup +
+    all-to-all); raw-table models (DIN, wide) use the psum fallbacks."""
+    return EmbOps(
+        embed=lambda p, gids: SE.psum_embedding_lookup(p["table"], gids),
+        linear=lambda p, gids: SE.sharded_linear_sum(p["w"], p["b"], gids),
+        sharded=True,
+        a2a_exact=exact,
+    )
 
-
-SHARDED_EMB_OPS = EmbOps(
-    embed=lambda p, gids: SE.sharded_embedding_lookup(p["table"], gids),
-    linear=lambda p, gids: SE.sharded_linear_sum(p["w"], p["b"], gids),
-    embed_wide=_sharded_embed_wide,
-)
 
 #: param-subtree names that hold packed tables (models/ctr.py convention).
 _TABLE_KEYS = {"embedding", "tables"}
 _WIDE_KEYS = {"wide", "lin_cat"}
+#: flat-stored big tables (engines.FusedGatherEngine / SplitEngine)
+_FLAT_TABLE_LEAVES = {"table_flat", "big_flat"}
 
 
 def param_specs(params) -> Any:
-    """PartitionSpec tree: embedding tables row-sharded, all else replicated."""
+    """PartitionSpec tree: embedding tables row-sharded, all else replicated
+    (the 'small' one-hot-matmul table of the split engine stays replicated —
+    it is a few hundred KB and its lookup is a local matmul)."""
 
     def spec_for(path, leaf) -> P:
         keys = [getattr(k, "key", None) for k in path]
+        if keys[-1] in _FLAT_TABLE_LEAVES:
+            return P(MODEL_AXIS)
         if any(k in _TABLE_KEYS for k in keys) and keys[-1] == "table":
             return P(MODEL_AXIS, None)
         if any(k in _WIDE_KEYS for k in keys) and keys[-1] == "w":
@@ -107,7 +112,7 @@ def create_spmd_state(
 
 def make_spmd_train_step(
     model: Model, opt: optim.Optimizer, env: MeshEnv,
-    global_batch_size: int, example_batch,
+    global_batch_size: int, example_batch, a2a_exact: bool = False,
 ):
     """jitted ``step(SpmdState, batch) -> (SpmdState, loss)`` over the mesh.
 
@@ -121,6 +126,7 @@ def make_spmd_train_step(
     ospecs = opt_specs(pspecs)
     msspecs = jax.tree.map(lambda _: P(), mstate_tmpl)
     bspecs = batch_specs(example_batch)
+    emb_ops = make_sharded_emb_ops(exact=a2a_exact)
 
     def shard_fn(params, mstate, opt_state, step, rng, batch):
         # decorrelate dropout across data shards
@@ -131,7 +137,7 @@ def make_spmd_train_step(
         def local_loss(p, ms):
             logits, new_ms = model.apply(
                 p, ms, batch, train=True, rng=local_rng,
-                emb_ops=SHARDED_EMB_OPS,
+                emb_ops=emb_ops,
             )
             labels = batch["label"].astype(jnp.float32)
             ce = jnp.sum(
@@ -167,7 +173,8 @@ def make_spmd_train_step(
     return step
 
 
-def make_spmd_eval_logits(model: Model, env: MeshEnv, example_batch):
+def make_spmd_eval_logits(model: Model, env: MeshEnv, example_batch,
+                          a2a_exact: bool = False):
     """jitted eval forward over the mesh → global logits [B]."""
     params_tmpl, mstate_tmpl = jax.eval_shape(
         lambda k: model.init(k), jax.random.key(0)
@@ -175,11 +182,12 @@ def make_spmd_eval_logits(model: Model, env: MeshEnv, example_batch):
     pspecs = param_specs(params_tmpl)
     msspecs = jax.tree.map(lambda _: P(), mstate_tmpl)
     bspecs = batch_specs(example_batch)
+    emb_ops = make_sharded_emb_ops(exact=a2a_exact)
 
     def shard_fn(params, mstate, batch):
         logits, _ = model.apply(
             params, mstate, batch, train=False, rng=None,
-            emb_ops=SHARDED_EMB_OPS,
+            emb_ops=emb_ops,
         )
         return logits
 

@@ -46,7 +46,7 @@ def test_sharded_lookup_matches_local(rng):
     gids = jnp.asarray(rng.integers(0, v, (b, f)), jnp.int32)
 
     def sharded_fn(tbl, ids):
-        emb = SE.sharded_embedding_lookup(tbl, ids, "model")
+        emb = SE.psum_embedding_lookup(tbl, ids, "model")
         # local batch shard → global loss needs the data-axis psum
         return jax.lax.psum(jnp.sum(emb ** 2), "data"), emb
 
@@ -93,3 +93,78 @@ def test_sharded_linear_matches_local(rng):
     got = fn(w, gids)
     expect = jnp.sum(jnp.take(w, gids, axis=0), axis=1, keepdims=True) + bias
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-5)
+
+
+def _a2a_roundtrip(rng, v, d, b, f, model_axis, exact, cap_factor=2.0,
+                   duplicate_heavy=False):
+    env = make_virtual_mesh(8, model_axis=model_axis)
+    table = jnp.asarray(rng.normal(size=(v, d)), jnp.float32)
+    hi = 4 if duplicate_heavy else v
+    gids = jnp.asarray(rng.integers(0, hi, (b, f)), jnp.int32)
+
+    def sharded_fn(tbl, ids):
+        emb = SE.a2a_embedding_lookup(tbl, ids, "model", exact=exact,
+                                      cap_factor=cap_factor)
+        return jax.lax.psum(jnp.sum(emb ** 2), "data"), emb
+
+    fn = shard_map(
+        sharded_fn, mesh=env.mesh,
+        in_specs=(P("model", None), P("data", None)),
+        out_specs=(P(), P("data", None, None)),
+        check_vma=False,
+    )
+    return fn, table, gids
+
+
+def test_a2a_lookup_matches_local(rng):
+    """Dedup + all-to-all lookup == plain gather, fwd and bwd (exact caps)."""
+    fn, table, gids = _a2a_roundtrip(rng, v=64, d=16, b=8, f=5,
+                                     model_axis=4, exact=True)
+    loss_sharded, emb_sharded = fn(table, gids)
+    emb_local = jnp.take(table, gids, axis=0)
+    np.testing.assert_allclose(np.asarray(emb_sharded), np.asarray(emb_local),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss_sharded),
+                               float(jnp.sum(emb_local ** 2)), rtol=1e-5)
+
+    g_sharded = jax.grad(lambda t: fn(t, gids)[0])(table)
+    g_local = jax.grad(lambda t: jnp.sum(jnp.take(t, gids, axis=0) ** 2))(table)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_a2a_lookup_duplicate_heavy(rng):
+    """Heavy duplication: dedup collapses wire rows; still exact, and the
+    capacity-factor path is lossless because unique counts are tiny."""
+    fn, table, gids = _a2a_roundtrip(rng, v=64, d=8, b=16, f=5,
+                                     model_axis=2, exact=False,
+                                     cap_factor=2.0, duplicate_heavy=True)
+    _, emb_sharded = fn(table, gids)
+    emb_local = jnp.take(table, gids, axis=0)
+    np.testing.assert_allclose(np.asarray(emb_sharded), np.asarray(emb_local),
+                               rtol=1e-5, atol=1e-6)
+    g_sharded = jax.grad(lambda t: fn(t, gids)[0])(table)
+    g_local = jax.grad(lambda t: jnp.sum(jnp.take(t, gids, axis=0) ** 2))(table)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_a2a_model_axis_one(rng):
+    """Degenerate model axis (no sharding) must reduce to the local gather."""
+    fn, table, gids = _a2a_roundtrip(rng, v=32, d=4, b=8, f=3,
+                                     model_axis=1, exact=True)
+    _, emb_sharded = fn(table, gids)
+    np.testing.assert_allclose(np.asarray(emb_sharded),
+                               np.asarray(jnp.take(table, gids, axis=0)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_a2a_overflow_diagnostic(rng):
+    """a2a_overflow counts capacity overflows; 0 at exact-equivalent caps."""
+    gids = rng.integers(0, 64, (8, 5)).astype(np.int32)
+    assert SE.a2a_overflow(gids, num_shards=4, shard_rows=16,
+                           cap_factor=4.0) == 0
+    # pathological skew: every id owned by shard 0, tiny capacity
+    skew = np.zeros((8, 5), np.int32)
+    assert SE.a2a_overflow(skew, num_shards=4, shard_rows=16,
+                           cap_factor=0.04) >= 0

@@ -48,7 +48,8 @@ def main() -> None:
     ts, tx = TS.create_train_state(model, seed=0, learning_rate=1e-3)
 
     # Device-resident dataset + scan-fused steps — the framework's real
-    # training fast path (recsys_tpu.train.fast): per-step batches are
+    # training fast path (recsys_tpu.train.fast devgen, the same step
+    # function loop.train_and_evaluate_fast drives): per-step batches are
     # device-side gathers, K steps fuse into one XLA program.
     data = criteo.synthetic_criteo(max(4 * batch_size, 65536), criteo_cfg)
     staged = fast.stage_dataset(data)
@@ -66,7 +67,7 @@ def main() -> None:
     float(loss)
 
     t0 = time.perf_counter()
-    calls = max(1, steps // k)
+    calls = max(1, -(-steps // k))   # ceil: honor the requested step count
     for _ in range(calls):
         ts, loss = step_fn(ts, staged, k)
     final_loss = float(loss)  # hard sync: the chain of donated states

@@ -122,10 +122,24 @@ class CheckpointManager:
                 f"checkpoint has {len(leaves)} leaves, template has "
                 f"{len(template_leaves)}"
             )
-        restored = [
-            np.asarray(leaf).astype(np.asarray(t).dtype).reshape(np.shape(t))
-            for leaf, t in zip(leaves, template_leaves)
-        ]
+        restored = []
+        for (pathstr, _), leaf, t in zip(meta["manifest"], leaves,
+                                         template_leaves):
+            leaf = np.asarray(leaf)
+            want_shape, want_dtype = np.shape(t), np.asarray(t).dtype
+            # strict: a silent cast/reshape would paper over a config or
+            # model-version mismatch — fail loud instead
+            if leaf.shape != want_shape:
+                raise ValueError(
+                    f"checkpoint leaf {pathstr}: shape {leaf.shape} != "
+                    f"template {want_shape}"
+                )
+            if leaf.dtype != want_dtype:
+                raise ValueError(
+                    f"checkpoint leaf {pathstr}: dtype {leaf.dtype} != "
+                    f"template {want_dtype}"
+                )
+            restored.append(leaf)
         return (
             jax.tree_util.tree_unflatten(treedef, restored),
             meta["step"],

@@ -315,4 +315,6 @@ def make_wide(criteo: CriteoConfig = CriteoConfig(),
         logits = emb_ops.linear(params["wide"], gids)
         return _squeeze_logits(logits), state
 
-    return Model("wide", init, apply)
+    # LinearClassifier is FTRL-backed in the reference
+    # (deep&wide/deep&wide.py:146-149) — train/optim.for_model honors this.
+    return Model("wide", init, apply, meta=dict(base.meta, optimizer="ftrl"))

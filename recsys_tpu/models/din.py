@@ -81,4 +81,21 @@ def make_din(item_vocab: int = ITEM_VOCAB, cate_vocab: int = CATE_VOCAB,
         logits = logits + jnp.take(params["item_bias"], batch["i_id"], axis=0)
         return logits, {"mlp": mlp_s}
 
-    return Model("din", init, apply)
+    def sample_features(n: int, hist_len: int = 32) -> dict:
+        """Synthetic serving/warmup features (serve.export.Servable); the
+        padded history length is one of the loader's static buckets
+        (data/amazon.py) — requests with other lengths compile new buckets."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        return {
+            "i_id": rng.integers(1, item_vocab, n).astype(np.int32),
+            "i_cate": rng.integers(1, cate_vocab, n).astype(np.int32),
+            "hist_iid": rng.integers(0, item_vocab, (n, hist_len)).astype(
+                np.int32),
+            "hist_cate": rng.integers(0, cate_vocab, (n, hist_len)).astype(
+                np.int32),
+        }
+
+    return Model("din", init, apply,
+                 meta={"sample_features": sample_features})

@@ -68,8 +68,14 @@ def param_specs(params) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def opt_specs(pspecs) -> optim.AdamState:
-    return optim.AdamState(count=P(), mu=pspecs, nu=pspecs)
+def opt_specs(pspecs, opt_state_tmpl=None):
+    """PartitionSpec tree for an optimizer state: per-param accumulators
+    (mu/nu, z/n) inherit their parameter's spec, scalars replicate."""
+    if opt_state_tmpl is None or isinstance(opt_state_tmpl, optim.AdamState):
+        return optim.AdamState(count=P(), mu=pspecs, nu=pspecs)
+    if isinstance(opt_state_tmpl, optim.FtrlState):
+        return optim.FtrlState(z=pspecs, n=pspecs)
+    raise TypeError(f"unknown optimizer state {type(opt_state_tmpl)}")
 
 
 def batch_specs(batch) -> Any:
@@ -103,7 +109,7 @@ def create_spmd_state(
     opt_state = opt.init(params)
     pspecs = param_specs(params)
     params = place(params, pspecs, env)
-    opt_state = place(opt_state, opt_specs(pspecs), env)
+    opt_state = place(opt_state, opt_specs(pspecs, opt_state), env)
     model_state = place(model_state, jax.tree.map(lambda _: P(), model_state),
                         env)
     return SpmdState(params, model_state, opt_state,
@@ -123,7 +129,7 @@ def make_spmd_train_step(
         lambda k: model.init(k), jax.random.key(0)
     )
     pspecs = param_specs(params_tmpl)
-    ospecs = opt_specs(pspecs)
+    ospecs = opt_specs(pspecs, jax.eval_shape(opt.init, params_tmpl))
     msspecs = jax.tree.map(lambda _: P(), mstate_tmpl)
     bspecs = batch_specs(example_batch)
     emb_ops = make_sharded_emb_ops(exact=a2a_exact)
@@ -171,6 +177,75 @@ def make_spmd_train_step(
         return SpmdState(new_params, new_ms, new_opt, st.step + 1, st.rng), loss
 
     return step
+
+
+def make_spmd_train_step_scanned(
+    model: Model, opt: optim.Optimizer, env: MeshEnv,
+    example_stack, a2a_exact: bool = False, unroll: int = 1,
+):
+    """Scan-fused SPMD step: ``steps(SpmdState, stack[K, B, ...]) ->
+    (SpmdState, mean_loss)`` — K optimizer steps per dispatch over the mesh
+    (the multi-chip analog of train.fast.make_scanned_train_step)."""
+    params_tmpl, mstate_tmpl = jax.eval_shape(
+        lambda k: model.init(k), jax.random.key(0)
+    )
+    pspecs = param_specs(params_tmpl)
+    ospecs = opt_specs(pspecs, jax.eval_shape(opt.init, params_tmpl))
+    msspecs = jax.tree.map(lambda _: P(), mstate_tmpl)
+    stack_specs = jax.tree.map(
+        lambda v: P(None, DATA_AXIS, *([None] * (v.ndim - 2))), example_stack
+    )
+    global_batch = jax.tree.leaves(example_stack)[0].shape[1]
+    emb_ops = make_sharded_emb_ops(exact=a2a_exact)
+
+    def shard_fn(params, mstate, opt_state, step0, rng, stack):
+        def body(carry, batch):
+            params, mstate, opt_state, step = carry
+            local_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, step), jax.lax.axis_index(DATA_AXIS)
+            )
+
+            def local_loss(p, ms):
+                logits, new_ms = model.apply(
+                    p, ms, batch, train=True, rng=local_rng, emb_ops=emb_ops
+                )
+                labels = batch["label"].astype(jnp.float32)
+                ce = jnp.sum(
+                    jnp.maximum(logits, 0.0) - logits * labels
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+                )
+                return ce / global_batch, new_ms
+
+            (loss, new_ms), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params, mstate)
+            loss = jax.lax.psum(loss, DATA_AXIS)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            new_ms = jax.lax.pmean(new_ms, DATA_AXIS)
+            new_params, new_opt = opt.update(grads, opt_state, params)
+            return (new_params, new_ms, new_opt, step + 1), loss
+
+        (params, mstate, opt_state, step), losses = jax.lax.scan(
+            body, (params, mstate, opt_state, step0), stack, unroll=unroll
+        )
+        return params, mstate, opt_state, step, jnp.mean(losses)
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=env.mesh,
+        in_specs=(pspecs, msspecs, ospecs, P(), P(), stack_specs),
+        out_specs=(pspecs, msspecs, ospecs, P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def steps(st: SpmdState, stack):
+        new_params, new_ms, new_opt, step, loss = sharded(
+            st.params, st.model_state, st.opt_state, st.step, st.rng, stack
+        )
+        return SpmdState(new_params, new_ms, new_opt, step, st.rng), loss
+
+    return steps
 
 
 def make_spmd_eval_logits(model: Model, env: MeshEnv, example_batch,

@@ -36,7 +36,11 @@ def export_servable(
     model_cfg: ModelConfig,
     criteo_cfg: CriteoConfig | None = None,
     extra: dict | None = None,
+    factory_kwargs: dict | None = None,
 ) -> str:
+    """``factory_kwargs`` are forwarded to the model factory at load time
+    (e.g. DIN's item_vocab/cate_vocab) so the reconstructed parameter
+    shapes match the exported weights exactly."""
     os.makedirs(export_dir, exist_ok=True)
     mgr = CheckpointManager(export_dir, keep_max=1)
     mgr.save(0, (params, model_state), extra=extra)
@@ -44,6 +48,7 @@ def export_servable(
         "model_name": model_name,
         "model_cfg": dataclasses.asdict(model_cfg),
         "criteo_cfg": dataclasses.asdict(criteo_cfg) if criteo_cfg else None,
+        "factory_kwargs": factory_kwargs or {},
     }
     with open(os.path.join(export_dir, "servable.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
@@ -75,10 +80,12 @@ class Servable:
         model_cfg = _cfg_from_dict(ModelConfig, meta["model_cfg"])
         criteo_cfg = _cfg_from_dict(CriteoConfig, meta["criteo_cfg"])
         self.criteo_cfg = criteo_cfg
+        kwargs = meta.get("factory_kwargs") or {}
         if criteo_cfg is not None:
-            self.model = make_model(self.model_name, criteo_cfg, model_cfg)
+            self.model = make_model(self.model_name, criteo_cfg, model_cfg,
+                                    **kwargs)
         else:
-            self.model = make_model(self.model_name, cfg=model_cfg)
+            self.model = make_model(self.model_name, cfg=model_cfg, **kwargs)
         params_t, state_t = self.model.init(jax.random.key(0))
         mgr = CheckpointManager(export_dir, keep_max=1)
         restored = mgr.restore((params_t, state_t))
@@ -123,6 +130,12 @@ class Servable:
             from recsys_tpu.data.criteo import synthetic_criteo
             d = synthetic_criteo(n, self.criteo_cfg)
             return {k: v for k, v in d.items() if k != "label"}
-        raise NotImplementedError(
-            f"warmup sample for model {self.model_name}"
-        )
+        # non-Criteo models (DIN, CF) declare their warmup feature
+        # generator in Model.meta (the reference exports every estimator
+        # model the same way, deepfm/deepfm.py:220-233)
+        fn = self.model.meta.get("sample_features")
+        if fn is None:
+            raise NotImplementedError(
+                f"model {self.model_name} declares no sample_features"
+            )
+        return fn(n)

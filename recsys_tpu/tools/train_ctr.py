@@ -36,15 +36,14 @@ def main(argv: list[str] | None = None) -> dict:
                         format="%(asctime)s %(name)s %(message)s")
     argv = argv if argv is not None else sys.argv[1:]
     task = argv[0] if argv and not argv[0].startswith("--") else "train"
+    # flat (non-config-section) args, e.g. --data_dir=...; everything else
+    # with a '=' is a --section.key=value RunConfig override
+    _FLAT = ("--data_dir", "--export_dir", "--port", "--synthetic_rows",
+             "--hbm_data_budget")
     overrides = [a for a in argv if a.startswith("--") and "=" in a
-                 and not a.startswith("--data_dir")
-                 and not a.startswith("--export_dir")
-                 and not a.startswith("--port")
-                 and not a.startswith("--synthetic_rows")]
+                 and not a.startswith(_FLAT)]
     kv = dict(
-        a[2:].split("=", 1) for a in argv
-        if a.startswith(("--data_dir", "--export_dir", "--port",
-                         "--synthetic_rows"))
+        a[2:].split("=", 1) for a in argv if a.startswith(_FLAT) and "=" in a
     )
 
     cfg = apply_overrides(RunConfig(), overrides)
@@ -91,16 +90,34 @@ def main(argv: list[str] | None = None) -> dict:
         if num_steps < 0:
             num_steps = cfg.train.num_epochs * rows_total // cfg.train.batch_size
 
+        def load_all(paths):
+            parts = [dict(np.load(p)) for p in paths]
+            return {
+                k: np.concatenate([p[k] for p in parts])
+                for k in parts[0]
+            }
+
+        import jax
+        n_devices = len(jax.devices())
+        mesh_devices = (cfg.mesh.data_axis if cfg.mesh.data_axis > 0
+                        else n_devices // max(1, cfg.mesh.model_axis)
+                        ) * max(1, cfg.mesh.model_axis)
+        # Mesh path: more than one device in the mesh → SPMD driver
+        # (batch over 'data', tables over 'model'; the reference's
+        # MirroredStrategy train_and_evaluate equivalent).
+        if mesh_devices > 1:
+            from recsys_tpu.train import spmd_loop
+            metrics = spmd_loop.train_and_evaluate_spmd(
+                model, load_all(train_paths), load_all(eval_paths),
+                cfg.train, cfg.mesh, num_steps=num_steps,
+            )
+            print(metrics)
+            return metrics
+
         # Fast path: dataset fits in HBM → stage it on device and run
         # scan-fused steps (recsys_tpu.train.fast). Streaming path otherwise.
         hbm_budget = int(kv.get("hbm_data_budget", 4 << 30))
         if total_bytes < hbm_budget and "--streaming" not in argv:
-            def load_all(paths):
-                parts = [dict(np.load(p)) for p in paths]
-                return {
-                    k: np.concatenate([p[k] for p in parts])
-                    for k in parts[0]
-                }
             metrics = loop.train_and_evaluate_fast(
                 model, load_all(train_paths), load_all(eval_paths),
                 cfg.train, num_steps=num_steps,

@@ -46,7 +46,6 @@ def epoch_index_matrix(n_rows: int, batch_size: int, steps: int, rng) -> np.ndar
 
 def _make_step_body(model: Model, tx):
     """Shared scan body: one optimizer step on a device-side gathered batch."""
-    import optax
 
     def loss_fn(params, model_state, batch, rng):
         logits, new_state = model.apply(
@@ -60,8 +59,7 @@ def _make_step_body(model: Model, tx):
         (loss, new_ms), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(ts.params, ts.model_state, batch, rng)
-        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-        new_params = optax.apply_updates(ts.params, updates)
+        new_params, new_opt = tx.update(grads, ts.opt_state, ts.params)
         return (
             TrainState(new_params, new_ms, new_opt, ts.step + 1, ts.rng),
             loss,
@@ -103,7 +101,10 @@ def make_scanned_train_step_devgen(
     @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
     def steps(ts: TrainState, data, k: int):
         def scan_body(ts, _):
-            ikey = jax.random.fold_in(ts.rng, 2 * ts.step + 1)
+            # dedicated index stream: fold a constant tag first so the key
+            # can never collide with the model/dropout key fold_in(rng, step)
+            ikey = jax.random.fold_in(
+                jax.random.fold_in(ts.rng, 0x1D8), ts.step)
             idx = jax.random.randint(ikey, (batch_size,), 0, n_rows,
                                      dtype=jnp.int32)
             return body(ts, data, idx)
@@ -145,21 +146,21 @@ def train_on_device(
     log_every_calls: int = 5,
     log_fn=None,
 ):
-    """Drive ``num_steps`` with the fused path. Returns (ts, last_loss)."""
+    """Drive ``num_steps`` with the fused path (device-generated batch
+    indices — the same path `loop.train_and_evaluate_fast` and bench.py
+    run). Returns (ts, last_loss)."""
     import time
 
     staged = stage_dataset(data)
     n = len(next(iter(data.values())))
-    step_fn = make_scanned_train_step(model, tx)
-    rng = np.random.default_rng(seed)
+    step_fn = make_scanned_train_step_devgen(model, tx, n, batch_size)
     done = 0
     loss = None
     t0 = time.perf_counter()
     calls = 0
     while done < num_steps:
         k = min(steps_per_call, num_steps - done)
-        idx = epoch_index_matrix(n, batch_size, k, rng)
-        ts, loss = step_fn(ts, staged, jnp.asarray(idx))
+        ts, loss = step_fn(ts, staged, k)
         done += k
         calls += 1
         if log_fn is not None and calls % log_every_calls == 0:

@@ -21,6 +21,7 @@ from recsys_tpu.core.config import TrainConfig
 from recsys_tpu.models.api import Model
 from recsys_tpu.train import metrics as M
 from recsys_tpu.train import train_state as TS
+from recsys_tpu.train.summaries import ScalarWriter
 
 log = logging.getLogger("recsys_tpu")
 
@@ -79,6 +80,7 @@ def train_and_evaluate(
     window_t0, window_step = t0, start_step
     losses: list[float] = []
     last_metrics: dict[str, float] = {}
+    writer = ScalarWriter(cfg.model_dir)
 
     for step_idx in range(start_step, num_steps):
         batch = next(train_iter)
@@ -94,6 +96,8 @@ def train_and_evaluate(
                 "step %d loss %.5f  %.1f steps/s  %.0f ex/s",
                 step_idx + 1, loss_v, rate, rate * bsz,
             )
+            writer.write(step_idx + 1, loss=loss_v,
+                         examples_per_sec=rate * bsz)
             window_t0, window_step = now, step_idx + 1
 
         do_eval = (step_idx + 1) % cfg.eval_every_steps == 0
@@ -108,6 +112,8 @@ def train_and_evaluate(
                 step_idx + 1, last_metrics["auc"], last_metrics["logloss"],
                 last_metrics["accuracy"],
             )
+            writer.write(step_idx + 1, eval_auc=last_metrics["auc"],
+                         eval_logloss=last_metrics["logloss"])
             do_ckpt = True
         if do_ckpt:
             ckpt.save(
@@ -116,6 +122,7 @@ def train_and_evaluate(
                 metric=last_metrics.get("auc"),
             )
 
+    writer.close()
     last_metrics["train_seconds"] = time.time() - t0
     last_metrics["final_loss"] = losses[-1] if losses else float("nan")
     return last_metrics
@@ -157,15 +164,17 @@ def train_and_evaluate_fast(
     staged_eval = fast.stage_dataset(eval_data)
     n_train = len(train_data["label"])
     n_eval = len(eval_data["label"])
-    step_fn = fast.make_scanned_train_step(model, tx)
+    # device-generated batch indices: zero host→device bytes in steady state
+    step_fn = fast.make_scanned_train_step_devgen(model, tx, n_train,
+                                                  cfg.batch_size)
     eval_fn = fast.make_scanned_eval(model)
-    rng = np.random.default_rng(cfg.seed)
 
     def run_eval():
-        bs = cfg.batch_size
+        bs = min(cfg.batch_size, n_eval)
+        # sequential coverage of the eval set, truncated (never wrapped —
+        # wrapping would double-count examples in the streaming metrics)
         n_batches = min(cfg.eval_steps, max(1, n_eval // bs))
-        # sequential (deterministic) coverage of the eval set
-        idx = (np.arange(n_batches * bs) % n_eval).reshape(n_batches, bs)
+        idx = np.arange(n_batches * bs).reshape(n_batches, bs)
         mstate = eval_fn(ts.params, ts.model_state, staged_eval,
                          jnp.asarray(idx, jnp.int32),
                          M.init_binary_metrics())
@@ -176,11 +185,11 @@ def train_and_evaluate_fast(
     done = start_step
     last_metrics: dict[str, float] = {}
     loss_v = float("nan")
+    writer = ScalarWriter(cfg.model_dir)
     next_eval = ((done // cfg.eval_every_steps) + 1) * cfg.eval_every_steps
     while done < num_steps:
         k = min(steps_per_call, num_steps - done, max(1, next_eval - done))
-        idx = fast.epoch_index_matrix(n_train, cfg.batch_size, k, rng)
-        ts, loss = step_fn(ts, staged_train, jnp.asarray(idx))
+        ts, loss = step_fn(ts, staged_train, k)
         done += k
         if done >= next_eval or done >= num_steps:
             loss_v = float(loss)
@@ -193,10 +202,15 @@ def train_and_evaluate_fast(
             log.info("eval @ step %d: auc %.5f logloss %.5f acc %.5f",
                      done, last_metrics["auc"], last_metrics["logloss"],
                      last_metrics["accuracy"])
+            writer.write(done, loss=loss_v,
+                         examples_per_sec=rate * cfg.batch_size,
+                         eval_auc=last_metrics["auc"],
+                         eval_logloss=last_metrics["logloss"])
             ckpt.save(done, (ts.params, ts.model_state, ts.opt_state),
                       metric=last_metrics.get("auc"))
             next_eval += cfg.eval_every_steps
 
+    writer.close()
     last_metrics["train_seconds"] = time.time() - t0
     last_metrics["final_loss"] = loss_v
     return last_metrics

@@ -13,6 +13,19 @@ PartitionSpec of their parameter).
 - `ftrl` is the FTRL-proximal update of ftrl/ftrl.py:153-181 (z/n
   accumulators, lazy L1/L2 weights), vectorized over dense tensors — the
   optimizer behind the reference's canned LinearClassifier as well.
+
+Row-sparse embedding updates — decision note (SURVEY §7.3). We deliberately
+run the DENSE update over the whole table: with the reference's 100k-capped
+vocabs the packed table is 840,648×17 f32 stored flat, and the measured
+dense Adam pass is 0.42 ms/step at batch 8192 on v5e (~4.5% of the step;
+tools/profile_step.py). A row-sparse update would gather + scatter the
+mu/nu/param rows for the ~250k unique ids of a batch, and TPU row
+gather/scatter is latency-bound (~100M gathered / ~19M scattered rows/s
+measured) — i.e. strictly slower than the dense streaming pass until the
+table is ≳10× larger. At full-vocab scale (45M rows, ~9 GB of Adam state)
+the right move is not sparsity but sharding: the SPMD path row-shards the
+table AND its optimizer state over the 'model' axis (parallel/spmd.py
+opt_specs), so each chip's dense pass shrinks by the axis size.
 """
 
 from __future__ import annotations
@@ -83,23 +96,25 @@ def ftrl(alpha: float = 0.1, beta: float = 1.0, l1: float = 1.0,
         )
 
     def update(grads, state: FtrlState, params):
-        def upd(z, n, g, w):
-            sigma = (jnp.sqrt(n + g * g) - jnp.sqrt(n)) / alpha
-            z_new = z + g - sigma * w
-            n_new = n + g * g
-            return z_new, n_new
-
-        zs_ns = jax.tree.map(
-            lambda z, n, g, w: upd(z, n, g, w), state.z, state.n, grads,
-            params,
+        z_new = jax.tree.map(
+            lambda z, n, g, w: z + g - (jnp.sqrt(n + g * g) - jnp.sqrt(n))
+            / alpha * w,
+            state.z, state.n, grads, params,
         )
-        z_new = jax.tree.map(lambda t: t[0], zs_ns,
-                             is_leaf=lambda t: isinstance(t, tuple) and len(t) == 2
-                             and isinstance(t[0], jax.Array))
-        n_new = jax.tree.map(lambda t: t[1], zs_ns,
-                             is_leaf=lambda t: isinstance(t, tuple) and len(t) == 2
-                             and isinstance(t[0], jax.Array))
+        n_new = jax.tree.map(lambda n, g: n + g * g, state.n, grads)
         new_params = jax.tree.map(weights_from, z_new, n_new)
         return new_params, FtrlState(z_new, n_new)
 
     return Optimizer(init, update)
+
+
+def for_model(model_meta: dict, learning_rate: float) -> Optimizer:
+    """The optimizer a model declares via ``Model.meta['optimizer']``:
+    'ftrl' for the wide/linear model (the reference's canned
+    LinearClassifier is FTRL-backed with NO L1/L2 regularization — TF's
+    LinearClassifier defaults — deep&wide/deep&wide.py:146-149; the
+    regularized per-example FTRL of ftrl/ftrl.py lives in
+    models/ftrl_lr.py), TF-parity Adam otherwise (deepfm/deepfm.py:142)."""
+    if model_meta.get("optimizer") == "ftrl":
+        return ftrl(alpha=learning_rate, l1=0.0, l2=0.0)
+    return adam(learning_rate)

@@ -10,7 +10,9 @@ clones) and MirroredStrategy replication with a single pjit-compiled step:
   over ICI automatically (the NCCL replacement, SURVEY §2.2 row 2);
 - donated arguments make the parameter/optimizer buffers update in place
   (no HBM traffic for a second copy);
-- Adam matches tf.train.AdamOptimizer defaults (b1=.9, b2=.999, eps=1e-8).
+- the optimizer is the SAME TF-parity Adam (`recsys_tpu.train.optim.adam`)
+  the SPMD path uses — one implementation, so sharded-vs-local equivalence
+  tests exercise the production update rule.
 """
 
 from __future__ import annotations
@@ -20,10 +22,10 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from recsys_tpu.models.api import Model
 from recsys_tpu.train import metrics as M
+from recsys_tpu.train import optim
 
 
 class TrainState(NamedTuple):
@@ -47,12 +49,13 @@ def sigmoid_ce(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def create_train_state(
-    model: Model, seed: int, learning_rate: float
-) -> tuple[TrainState, optax.GradientTransformation]:
+    model: Model, seed: int, learning_rate: float,
+    opt: optim.Optimizer | None = None,
+) -> tuple[TrainState, optim.Optimizer]:
     key = jax.random.key(seed)
     init_key, run_key = jax.random.split(key)
     params, model_state = model.init(init_key)
-    tx = optax.adam(learning_rate, eps=1e-8)
+    tx = opt if opt is not None else optim.for_model(model.meta, learning_rate)
     opt_state = tx.init(params)
     return (
         TrainState(params, model_state, opt_state, jnp.zeros((), jnp.int32),
@@ -61,8 +64,7 @@ def create_train_state(
     )
 
 
-def make_train_step(model: Model, tx: optax.GradientTransformation,
-                    emb_ops=None):
+def make_train_step(model: Model, tx: optim.Optimizer, emb_ops=None):
     """Returns jitted ``step(ts, batch) -> (ts, loss)``."""
 
     def loss_fn(params, model_state, batch, rng):
@@ -78,8 +80,7 @@ def make_train_step(model: Model, tx: optax.GradientTransformation,
         (loss, new_model_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(ts.params, ts.model_state, batch, rng)
-        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-        new_params = optax.apply_updates(ts.params, updates)
+        new_params, new_opt = tx.update(grads, ts.opt_state, ts.params)
         return (
             TrainState(new_params, new_model_state, new_opt, ts.step + 1,
                        ts.rng),

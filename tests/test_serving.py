@@ -100,3 +100,37 @@ def test_microbatcher_coalesces(exported):
     for i in range(4):
         np.testing.assert_allclose(results[i], direct, rtol=1e-4, atol=1e-5)
     mb.stop()
+
+
+def test_din_export_serve_round_trip(tmp_path):
+    """Non-Criteo export/serve: DIN warms up from its meta-declared sample
+    features and serves over REST (reference exports every estimator model,
+    deepfm/deepfm.py:220-233)."""
+    from recsys_tpu.models.din import make_din
+
+    mcfg = ModelConfig(name="din", embedding_dim=8, use_bn=False,
+                       attention_layers=(8, 4), mlp_layers=(16, 8, 4))
+    model = make_din(item_vocab=500, cate_vocab=20, cfg=mcfg)
+    params, state = model.init(jax.random.key(0))
+    d = str(tmp_path / "din_export")
+    export_servable(d, "din", params, state, mcfg,
+                    factory_kwargs={"item_vocab": 500, "cate_vocab": 20})
+    # Servable reconstructs via the registry factory with stored kwargs
+    sv = Servable(d, buckets=(8, 32))
+    sv.warmup()
+    feats = model.meta["sample_features"](10)
+    probs = sv.predict(feats)
+    assert probs.shape == (10,)
+    logits, _ = model.apply(params, state, feats, train=False)
+    np.testing.assert_allclose(probs, np.asarray(jax.nn.sigmoid(logits)),
+                               rtol=1e-4, atol=1e-5)
+
+    server, batcher = make_rest_server(sv, port=18514)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        got = C.rest_predict(18514, feats)
+        np.testing.assert_allclose(got, probs, rtol=1e-4, atol=1e-5)
+    finally:
+        server.shutdown()
+        batcher.stop()

@@ -88,3 +88,47 @@ def test_eval_step_streaming(tmp_path):
     metrics = loop.evaluate(model, params, state, _batches(4, 128))
     assert metrics["count"] == 512
     assert 0.0 <= metrics["auc"] <= 1.0
+
+
+def test_wide_trains_with_ftrl(tmp_path):
+    """The wide model is FTRL-backed like the reference's LinearClassifier
+    (deep&wide/deep&wide.py:146-149; FTRL math ftrl/ftrl.py:153-181)."""
+    from recsys_tpu.train import optim
+
+    model = make_model("wide", SMALL, ModelConfig())
+    assert model.meta.get("optimizer") == "ftrl"
+    ts, tx = TS.create_train_state(model, seed=0, learning_rate=0.5)
+    assert isinstance(ts.opt_state, optim.FtrlState)
+    step = TS.make_train_step(model, tx)
+    losses = []
+    for batch in _batches(80, 256):
+        ts, loss = step(ts, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_checkpoint_restore_is_strict(tmp_path):
+    """Shape or dtype mismatches must fail loud, not silently cast/reshape."""
+    import pytest
+
+    mgr = CheckpointManager(str(tmp_path), keep_max=2)
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    mgr.save(1, tree)
+    with pytest.raises(ValueError, match="shape"):
+        mgr.restore({"a": np.zeros((3, 2), np.float32)})
+    with pytest.raises(ValueError, match="dtype"):
+        mgr.restore({"a": np.zeros((2, 3), np.int32)})
+    restored, _, _ = mgr.restore({"a": np.zeros((2, 3), np.float32)})
+    np.testing.assert_array_equal(restored["a"], tree["a"])
+
+
+def test_scalar_summaries_roundtrip(tmp_path):
+    from recsys_tpu.train.summaries import ScalarWriter, read_scalars
+
+    with ScalarWriter(str(tmp_path)) as w:
+        w.write(10, loss=1.5, examples_per_sec=1000.0)
+        w.write(20, loss=1.2, eval_auc=0.7)
+    recs = read_scalars(str(tmp_path))
+    assert [r["step"] for r in recs] == [10, 20]
+    assert recs[1]["eval_auc"] == 0.7

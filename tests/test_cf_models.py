@@ -111,3 +111,53 @@ def test_cdae_end_to_end():
     assert pred.shape == (150, 10)
     sr = M.success_rate_at_n(pred, test_x)
     assert sr > 15.0  # planted structure ⇒ far above random (10/80 ≈ 12%)
+
+
+def test_vae_cf_product_trainer(tmp_path):
+    """train_vae_cf runs the full reference protocol: anneal, per-epoch
+    NDCG@100 validation, best-NDCG ckpt, restore-and-test
+    (vae_cf_train_val.py:161-272)."""
+    from recsys_tpu.core.checkpoint import CheckpointManager
+    from recsys_tpu.train.summaries import read_scalars
+    from recsys_tpu.train.vae_loop import VaeTrainConfig, train_vae_cf
+
+    data = _vae_data()
+    cfg = VaeTrainConfig(
+        latent_dim=16, hidden_dim=48, epochs=6, batch_size=100,
+        total_anneal_steps=500, model_dir=str(tmp_path / "vae"),
+        eval_batch_size=64,
+    )
+    result = train_vae_cf(data, cfg)
+    # test metrics computed from the restored best checkpoint
+    assert result["best_ndcg"] > 0.0
+    assert 0 <= result["best_epoch"] < cfg.epochs
+    assert result["test"]["eval_users"] > 0
+    assert np.isfinite(result["test"]["ndcg@100"])
+
+    # the best/ checkpoint is the max-NDCG epoch, not the last epoch
+    mgr = CheckpointManager(cfg.model_dir)
+    import json, os
+    with open(os.path.join(cfg.model_dir, "best", "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["metric"] == result["best_ndcg"]
+    assert meta["extra"]["epoch"] == result["best_epoch"]
+
+    # JSONL scalar stream has one validation record per epoch
+    scalars = read_scalars(cfg.model_dir)
+    assert len(scalars) == cfg.epochs
+    assert all("ndcg@100" in s and "loss" in s for s in scalars)
+    # anneal schedule actually annealed
+    assert scalars[-1]["anneal"] > scalars[0]["anneal"]
+
+
+def test_train_vae_cli(tmp_path):
+    from recsys_tpu.tools.train_vae import main
+
+    result = main([
+        "--epochs=2", "--batch_size=100", "--latent_dim=12",
+        "--hidden_dim=32", f"--model_dir={tmp_path}/cli_vae",
+        "--synthetic_users=250", "--synthetic_items=120",
+        "--n_heldout_users=40", "--total_anneal_steps=200",
+        "--eval_batch_size=64",
+    ])
+    assert "test" in result and result["best_epoch"] >= 0

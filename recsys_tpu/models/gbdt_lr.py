@@ -42,12 +42,13 @@ def train_gbdt(
 
 
 def leaf_indices(clf: GradientBoostingClassifier, x: np.ndarray) -> np.ndarray:
-    """[N, n_trees] leaf ids (the ``pred_leaf=True`` matrix,
-    gbdt_lr.py:65)."""
-    # sklearn returns [N, n_trees, n_classes_per_stage]; binary → squeeze
+    """[N, n_trees·n_class_stages] leaf ids (the ``pred_leaf=True`` /
+    ``clf.apply`` matrix, gbdt_lr.py:65, main.py:53)."""
+    # sklearn returns [N, n_trees, n_classes_per_stage]; binary has one
+    # stage per tree, multiclass K — flatten every stage into a feature
     leaves = clf.apply(x)
     if leaves.ndim == 3:
-        leaves = leaves[:, :, 0]
+        leaves = leaves.reshape(leaves.shape[0], -1)
     return leaves.astype(np.int64)
 
 
@@ -102,3 +103,56 @@ def gbdt_lr_pipeline(
 def merged_features(x: np.ndarray, leaves: np.ndarray) -> np.ndarray:
     """Raw + leaf-index features side by side (main.py:12-18 mergeToOne)."""
     return np.concatenate([x, leaves.astype(x.dtype)], axis=1)
+
+
+def leaf_feature_comparison(
+    x: np.ndarray, y: np.ndarray,
+    *, stage1_trees: int = 10, stage2_trees: int = 40, num_leaves: int = 31,
+    test_size: float = 0.1, stage2_frac: float = 0.6, seed: int = 0,
+) -> dict:
+    """The main.py:20-118 experiment: does appending stage-1 leaf-index
+    features improve a second-stage model?
+
+    Protocol (multi-class, Forest-Cover style): hold out ``test_size`` for
+    the final comparison (main.py:29); split the rest into a stage-1 set
+    (trains the feature-generating GBDT, main.py:32-50) and a stage-2 set
+    (main.py:32, test_size=0.6). Train the second-stage model twice — on raw
+    stage-2 features (main.py:89-95) and on raw+leaf merged features
+    (main.py:109-118) — and report test accuracy for both.
+    """
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(y))            # main.py:23 data.sample
+    x, y = x[order], y[order]
+    n_test = max(1, int(test_size * len(y)))
+    x_test, y_test = x[:n_test], y[:n_test]
+    x_tr, y_tr = x[n_test:], y[n_test:]
+    n2 = int(stage2_frac * len(y_tr))
+    x1, y1 = x_tr[n2:], y_tr[n2:]              # stage-1 (feature generator)
+    x2, y2 = x_tr[:n2], y_tr[:n2]              # stage-2 (second model)
+
+    stage1 = GradientBoostingClassifier(
+        n_estimators=stage1_trees, max_leaf_nodes=num_leaves,
+        learning_rate=0.2, random_state=seed)  # main.py:34-47 lr=0.2
+    stage1.fit(x1, y1)
+    acc_stage1 = float(np.mean(stage1.predict(x1) == y1))  # main.py:54-58
+
+    leaves_2 = leaf_indices(stage1, x2)        # main.py:53 clf.apply
+    leaves_te = leaf_indices(stage1, x_test)   # main.py:74
+
+    def second(xt, xe):                        # main.py:78-95 / 97-118
+        m = GradientBoostingClassifier(
+            n_estimators=stage2_trees, max_leaf_nodes=num_leaves,
+            learning_rate=0.05, random_state=seed + 1)
+        m.fit(xt, y2)
+        return float(np.mean(m.predict(xe) == y_test))
+
+    acc_raw = second(x2, x_test)
+    acc_merged = second(merged_features(x2, leaves_2),
+                        merged_features(x_test, leaves_te))
+    return {
+        "acc_stage1_train": acc_stage1,
+        "acc_raw": acc_raw,
+        "acc_raw_plus_leaf": acc_merged,
+        "leaf_gain": acc_merged - acc_raw,
+        "n_leaf_features": int(leaves_2.shape[1]),
+    }

@@ -86,3 +86,32 @@ def test_gbdt_lr_pipeline():
     assert (oh.sum(axis=1) == 20).all()   # one hot per tree
     merged = G.merged_features(x[:5], leaves)
     assert merged.shape == (5, 30)
+
+
+def _forest_multiclass(n=900, n_classes=3, seed=2):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    w = rng.normal(size=(8, n_classes))
+    y = np.argmax(x @ w + rng.gumbel(0, 0.3, (n, n_classes)), axis=1)
+    return x, y.astype(np.int64)
+
+
+def test_leaf_feature_comparison():
+    """main.py:20-118 experiment: both second-stage models beat chance and
+    the report carries the raw-vs-merged comparison."""
+    x, y = _forest_multiclass()
+    out = G.leaf_feature_comparison(x, y, stage1_trees=5, stage2_trees=15,
+                                    num_leaves=8)
+    chance = 1.0 / len(np.unique(y))
+    assert out["acc_raw"] > chance + 0.1
+    assert out["acc_raw_plus_leaf"] > chance + 0.1
+    assert out["n_leaf_features"] == 5 * 3   # trees × classes flattened
+    assert "leaf_gain" in out
+
+
+def test_gbdt_fe_cli(capsys):
+    from recsys_tpu.tools.gbdt_fe import main
+    out = main(["--synthetic_rows=600", "--n_trees=10", "--num_leaves=8",
+                "--stage1_trees=4", "--stage2_trees=8"])
+    assert out["gbdt_lr"]["nce"] < 1.0
+    assert 0 <= out["comparison"]["acc_raw"] <= 1

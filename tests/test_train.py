@@ -132,3 +132,39 @@ def test_scalar_summaries_roundtrip(tmp_path):
     recs = read_scalars(str(tmp_path))
     assert [r["step"] for r in recs] == [10, 20]
     assert recs[1]["eval_auc"] == 0.7
+
+
+def test_deepfm_demo_schema_learns(tmp_path):
+    """The reference DeepFM's hashed-int u_id/i_id demo variant
+    (deepfm/deepfm.py:41-49): the generic CTR zoo runs on a 2-field schema
+    and learns the planted user×item structure."""
+    from recsys_tpu.data import demo
+
+    schema = demo.demo_schema(u_buckets=20_000, i_buckets=5_000)
+    data = demo.synthetic_demo(40_000, n_users=300, n_items=100, rank=4,
+                               seed=7, schema=schema)
+    assert data["ids"].shape == (40_000, 2)
+    assert data["dense"].shape == (40_000, 0)
+
+    model = make_model("deepfm", schema,
+                       ModelConfig(embedding_dim=8, deep_layers=(32, 16),
+                                   dropout=0.1))
+    cfg = TrainConfig(batch_size=256, learning_rate=0.02,
+                      model_dir=str(tmp_path / "demo"),
+                      eval_every_steps=10_000, log_every_steps=200,
+                      save_checkpoints_steps=10_000, eval_steps=8)
+
+    # pure id-x-id interaction needs several epochs over the 30k train rows
+    def train_batches():
+        for s in range(600):
+            lo = (s * 256) % 30_000
+            yield {k: v[lo:lo + 256] for k, v in data.items()}
+
+    def eval_batches():
+        for b in range(8):
+            lo = 32_000 + b * 256
+            yield {k: v[lo:lo + 256] for k, v in data.items()}
+
+    metrics = loop.train_and_evaluate(
+        model, train_batches(), eval_batches, cfg, num_steps=600)
+    assert metrics["auc"] > 0.60, metrics

@@ -1,0 +1,365 @@
+"""RESULTS generator — measures every model family on the current device
+and writes RESULTS.md + RESULTS.json at the repo root.
+
+The reference's de-facto integration test is its README metric tables
+(README.md:20-28,92-94,115-119; deepfm/readme.md:9-20,57-73). This script is
+the regenerable equivalent: one command produces per-model quality
+(AUC/logloss on the planted synthetic task — NOT comparable to the
+reference's real-Criteo AUC, but a fixed regression target), training and
+eval throughput per chip, CF ranking metrics, CDAE success rates, and
+serving latency percentiles.
+
+Usage:
+    python -m recsys_tpu.tools.results \
+        [--out=RESULTS.md] [--batch=8192] [--steps=400] [--rows=524288] \
+        [--serving=1] [--models=fm,deepfm,...]
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("recsys_tpu.results")
+
+#: reference throughput (examples/s on 2× GTX 1080 Ti, global_step/s × 256
+#: — BASELINE.md; README.md:45,53,61,72,84,104)
+REF_EXS = {"fm": 23 * 256, "deepfm": 12 * 256, "dcn": 45 * 256,
+           "xdeepfm": 14 * 256, "dnn": 41 * 256, "din": 124 * 256}
+
+CTR_MODELS = ("fm", "deepfm", "dcn", "xdeepfm", "dnn", "wide")
+
+
+def _sync(x) -> float:
+    """Hard sync: fetch a host value (block_until_ready can return early on
+    tunneled devices — see bench.py)."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_ctr(name: str, *, batch: int, steps: int, rows: int,
+              lr: float = 1e-3, seed: int = 0) -> dict:
+    """Train a CTR-zoo model on planted synthetic Criteo; return quality +
+    steady-state throughput. Same path as bench.py (devgen scan-fused)."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.core.config import CriteoConfig, ModelConfig
+    from recsys_tpu.data import criteo
+    from recsys_tpu.models.api import make_model
+    from recsys_tpu.train import fast, metrics as M, train_state as TS
+
+    criteo_cfg = CriteoConfig()
+    model = make_model(name, criteo_cfg, ModelConfig(name=name))
+    ts, tx = TS.create_train_state(model, seed=seed, learning_rate=lr)
+
+    train_data = criteo.synthetic_criteo(rows, criteo_cfg)
+    eval_rows = max(8 * batch, 65536)
+    eval_data = criteo.synthetic_criteo(eval_rows, criteo_cfg,
+                                        start_row=10 * rows)
+    staged = fast.stage_dataset(train_data)
+    staged_eval = fast.stage_dataset(eval_data)
+    step_fn = fast.make_scanned_train_step_devgen(model, tx, rows, batch)
+    eval_fn = fast.make_scanned_eval(model)
+
+    k = 50
+    # first call pays the compile; time the rest (steady state)
+    ts, loss = step_fn(ts, staged, k)
+    _sync(loss)
+    calls = max(1, -(-max(steps - k, k) // k))
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        ts, loss = step_fn(ts, staged, k)
+    _sync(loss)
+    dt = time.perf_counter() - t0
+    train_exs = calls * k * batch / dt
+
+    # eval: full coverage of the eval set, timed after compile
+    ebs = min(batch, eval_rows)
+    n_batches = eval_rows // ebs
+    idx = jnp.asarray(
+        np.arange(n_batches * ebs).reshape(n_batches, ebs), jnp.int32)
+    mstate = eval_fn(ts.params, ts.model_state, staged_eval, idx,
+                     M.init_binary_metrics())
+    quality = M.finalize_binary_metrics(mstate)
+    t0 = time.perf_counter()
+    mstate = eval_fn(ts.params, ts.model_state, staged_eval, idx,
+                     M.init_binary_metrics())
+    _sync(mstate.count)
+    eval_exs = n_batches * ebs / (time.perf_counter() - t0)
+
+    out = {
+        "model": name, "auc": quality["auc"], "logloss": quality["logloss"],
+        "train_examples_per_s": train_exs, "eval_examples_per_s": eval_exs,
+        "batch": batch, "steps": (calls + 1) * k,
+    }
+    if name in REF_EXS:
+        out["vs_reference"] = train_exs / REF_EXS[name]
+    log.info("%s: auc %.4f logloss %.4f  %.0f train ex/s  %.0f eval ex/s",
+             name, out["auc"], out["logloss"], train_exs, eval_exs)
+    return out
+
+
+def bench_din(*, batch: int = 1024, steps: int = 300, seed: int = 0) -> dict:
+    """DIN on planted taste-cluster sequences (din/din.py parity model)."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.core.config import ModelConfig
+    from recsys_tpu.data import amazon
+    from recsys_tpu.models.api import make_model
+    from recsys_tpu.train import fast, metrics as M, train_state as TS
+
+    ds = amazon.synthetic_din(n_users=20_000, item_vocab=2000, cate_vocab=40,
+                              seed=seed)
+    model = make_model("din", ds.item_vocab, ds.cate_vocab,
+                       ModelConfig(name="din", embedding_dim=16,
+                                   dropout=0.1, use_bn=False))
+    ts, tx = TS.create_train_state(model, seed=seed, learning_rate=3e-3)
+    n = len(ds.label)
+    data = {"i_id": ds.i_id, "i_cate": ds.i_cate, "hist_iid": ds.hist_iid,
+            "hist_cate": ds.hist_cate, "label": ds.label}
+    # single padding bucket (synthetic_din emits one) → devgen path applies
+    hold = max(4 * batch, n // 10)
+    train = {k: v[:-hold] for k, v in data.items()}
+    evald = {k: v[-hold:] for k, v in data.items()}
+    staged = fast.stage_dataset(train)
+    step_fn = fast.make_scanned_train_step_devgen(
+        model, tx, len(train["label"]), batch)
+
+    k = 50
+    ts, loss = step_fn(ts, staged, k)
+    _sync(loss)
+    calls = max(1, -(-max(steps - k, k) // k))
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        ts, loss = step_fn(ts, staged, k)
+    _sync(loss)
+    train_exs = calls * k * batch / (time.perf_counter() - t0)
+
+    eval_step = TS.make_eval_step(model)
+    mstate = M.init_binary_metrics()
+    ne = len(evald["label"])
+    for lo in range(0, ne - batch + 1, batch):
+        b = {kk: jnp.asarray(v[lo:lo + batch]) for kk, v in evald.items()}
+        mstate = eval_step(ts.params, ts.model_state, mstate, b)
+    quality = M.finalize_binary_metrics(mstate)
+    out = {"model": "din", "auc": quality["auc"],
+           "logloss": quality["logloss"],
+           "train_examples_per_s": train_exs, "batch": batch,
+           "vs_reference": train_exs / REF_EXS["din"]}
+    log.info("din: auc %.4f  %.0f train ex/s", out["auc"], train_exs)
+    return out
+
+
+def bench_cf(seed: int = 0) -> list[dict]:
+    """VAE-CF family via the product trainer + CDAE — ranking metrics on
+    planted synthetic interactions (protocol parity; values are not
+    ML-20M-comparable)."""
+    from recsys_tpu.data import movielens as ML
+    from recsys_tpu.models import cdae as CDAE
+    from recsys_tpu.train import metrics as M
+    from recsys_tpu.train.vae_loop import VaeTrainConfig, train_vae_cf
+
+    u, i, r = ML.synthetic_interactions(n_users=1200, n_items=400, seed=seed)
+    data = ML.preprocess_vae_cf(u, i, r, n_heldout_users=150)
+    rows = []
+    for name in ("multi_vae", "multi_dae", "logistic_vae"):
+        cfg = VaeTrainConfig(model=name, latent_dim=32, hidden_dim=128,
+                             epochs=25, batch_size=250,
+                             total_anneal_steps=2000,
+                             model_dir=f"./results_tmp/{name}")
+        t0 = time.perf_counter()
+        res = train_vae_cf(data, cfg)
+        rows.append({
+            "model": name, "best_val_ndcg@100": res["best_ndcg"],
+            "test_ndcg@100": res["test"]["ndcg@100"],
+            "test_recall@20": res["test"]["recall@20"],
+            "test_recall@50": res["test"]["recall@50"],
+            "train_seconds": time.perf_counter() - t0,
+        })
+        log.info("%s: %s", name, rows[-1])
+
+    users, train_x, _, test_x = ML.synthetic_ml100k(n_users=400, n_items=200,
+                                                    seed=seed)
+    t0 = time.perf_counter()
+    params, apply, _ = CDAE.train_cdae(train_x, users, hidden=32, epochs=40,
+                                       batch_size=64)
+    sr = {}
+    for n_top in (1, 5, 10):
+        pred = CDAE.predict_topn(apply, params, train_x, users, n=n_top)
+        sr[f"sr@{n_top}"] = M.success_rate_at_n(pred, test_x)
+    rows.append({"model": "cdae", **sr,
+                 "train_seconds": time.perf_counter() - t0})
+    log.info("cdae: %s", rows[-1])
+    return rows
+
+
+def bench_serving(seed: int = 0) -> list[dict]:
+    """Export a DeepFM and measure REST p50/p99 at the reference's batch
+    sizes (deepfm/readme.md:64-73: 0.29 ms @ 200, 0.36 ms @ 500)."""
+    import threading
+
+    import jax
+
+    from recsys_tpu.core.config import CriteoConfig, ModelConfig
+    from recsys_tpu.data import criteo
+    from recsys_tpu.models.api import make_model
+    from recsys_tpu.serve import client as C
+    from recsys_tpu.serve.export import Servable, export_servable
+    from recsys_tpu.serve.server import make_rest_server
+
+    cfg = CriteoConfig()
+    mcfg = ModelConfig(name="deepfm")
+    model = make_model("deepfm", cfg, mcfg)
+    params, state = model.init(jax.random.key(seed))
+    d = "./results_tmp/export_deepfm"
+    export_servable(d, "deepfm", params, state, mcfg, cfg)
+    sv = Servable(d, buckets=(256, 512))
+    sv.warmup()
+    port = 18733
+    server, _ = make_rest_server(sv, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    rows = []
+    try:
+        for n in (200, 500):
+            data = criteo.synthetic_criteo(n, cfg)
+            labels = data.pop("label")
+            stats = C.benchmark_serving(
+                lambda f: C.rest_predict(port, f), data, labels,
+                warmup=3, iters=20)
+            rows.append({"batch": n, **stats})
+            log.info("serving batch %d: %s", n, stats)
+    finally:
+        server.shutdown()
+    return rows
+
+
+def _md_table(rows: list[dict], cols: list[tuple[str, str, str]]) -> str:
+    head = "| " + " | ".join(t for t, _, _ in cols) + " |"
+    sep = "|" + "|".join("---" for _ in cols) + "|"
+    lines = [head, sep]
+    for r in rows:
+        cells = []
+        for _, key, fmt in cols:
+            v = r.get(key)
+            cells.append("—" if v is None else format(v, fmt)
+                         if fmt else str(v))
+        lines.append("| " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
+def main(argv: list[str] | None = None) -> dict:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    argv = argv if argv is not None else sys.argv[1:]
+    kv = dict(a[2:].split("=", 1) for a in argv
+              if a.startswith("--") and "=" in a)
+    batch = int(kv.get("batch", 8192))
+    steps = int(kv.get("steps", 400))
+    rows_n = int(kv.get("rows", 524288))
+    models = kv.get("models", ",".join(CTR_MODELS)).split(",")
+    do_serving = kv.get("serving", "1") not in ("0", "false")
+    do_cf = kv.get("cf", "1") not in ("0", "false")
+    do_din = kv.get("din", "1") not in ("0", "false")
+    out_path = kv.get("out", "RESULTS.md")
+
+    import jax
+    dev = jax.devices()[0]
+    platform = dev.platform
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True).stdout.strip()
+    except Exception:
+        commit = "?"
+
+    result: dict = {"platform": platform, "device": str(dev),
+                    "commit": commit, "batch": batch, "steps": steps}
+    ctr_rows = [bench_ctr(m, batch=batch, steps=steps, rows=rows_n)
+                for m in models]
+    result["ctr"] = ctr_rows
+    if do_din:
+        result["din"] = bench_din(batch=min(batch, 1024),
+                                  steps=min(steps, 300))
+    if do_cf:
+        result["cf"] = bench_cf()
+    if do_serving:
+        result["serving"] = bench_serving()
+
+    # --- render ---
+    md = [
+        "# RESULTS — recsys_tpu measured numbers",
+        "",
+        f"Generated by `python -m recsys_tpu.tools.results` at commit "
+        f"`{commit}` on `{result['device']}` "
+        f"({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}).",
+        "",
+        "Quality numbers are on the repo's planted synthetic tasks (fixed "
+        "seeds), so they are regression targets for THIS framework — not "
+        "comparable to the reference's real-dataset AUC. Throughput IS "
+        "comparable: `vs reference` divides our examples/s/chip by the "
+        "reference's 2-GPU examples/s (BASELINE.md).",
+        "",
+        f"## CTR zoo (synthetic Criteo, 39 fields, emb 16, batch {batch})",
+        "",
+        _md_table(ctr_rows, [
+            ("model", "model", ""), ("AUC", "auc", ".4f"),
+            ("logloss", "logloss", ".4f"),
+            ("train ex/s/chip", "train_examples_per_s", ",.0f"),
+            ("eval ex/s/chip", "eval_examples_per_s", ",.0f"),
+            ("vs reference", "vs_reference", ".1f"),
+        ]),
+    ]
+    if do_din:
+        md += ["", "## DIN (synthetic taste-cluster sequences)", "",
+               _md_table([result["din"]], [
+                   ("model", "model", ""), ("AUC", "auc", ".4f"),
+                   ("logloss", "logloss", ".4f"),
+                   ("train ex/s/chip", "train_examples_per_s", ",.0f"),
+                   ("batch", "batch", "d"),
+                   ("vs reference", "vs_reference", ".1f"),
+               ])]
+    if do_cf:
+        md += ["", "## CF family (synthetic interactions, product trainers)",
+               "",
+               _md_table([r for r in result["cf"] if r["model"] != "cdae"], [
+                   ("model", "model", ""),
+                   ("best val NDCG@100", "best_val_ndcg@100", ".4f"),
+                   ("test NDCG@100", "test_ndcg@100", ".4f"),
+                   ("test Recall@20", "test_recall@20", ".4f"),
+                   ("test Recall@50", "test_recall@50", ".4f"),
+                   ("train s", "train_seconds", ".1f"),
+               ]),
+               "",
+               _md_table([r for r in result["cf"] if r["model"] == "cdae"], [
+                   ("model", "model", ""), ("SR@1", "sr@1", ".2f"),
+                   ("SR@5", "sr@5", ".2f"), ("SR@10", "sr@10", ".2f"),
+                   ("train s", "train_seconds", ".1f"),
+               ])]
+    if do_serving:
+        md += ["", "## Serving (DeepFM REST, in-process server; reference: "
+               "0.29 ms @ 200 / 0.36 ms @ 500 on TF-Serving CPU)", "",
+               _md_table(result["serving"], [
+                   ("batch", "batch", "d"),
+                   ("p50 ms", "latency_ms_p50", ".2f"),
+                   ("p99 ms", "latency_ms_p99", ".2f"),
+                   ("mean ms", "latency_ms_mean", ".2f"),
+                   ("AUC", "auc", ".4f"),
+               ])]
+    md.append("")
+
+    with open(out_path, "w") as f:
+        f.write("\n".join(md))
+    json_path = os.path.splitext(out_path)[0] + ".json"
+    with open(json_path, "w") as f:
+        json.dump(result, f, indent=1)
+    log.info("wrote %s and %s", out_path, json_path)
+    return result
+
+
+if __name__ == "__main__":
+    main()

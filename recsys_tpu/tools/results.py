@@ -262,6 +262,7 @@ def main(argv: list[str] | None = None) -> dict:
     batch = int(kv.get("batch", 8192))
     steps = int(kv.get("steps", 400))
     rows_n = int(kv.get("rows", 524288))
+    lr = float(kv.get("lr", 3e-3))
     models = kv.get("models", ",".join(CTR_MODELS)).split(",")
     do_serving = kv.get("serving", "1") not in ("0", "false")
     do_cf = kv.get("cf", "1") not in ("0", "false")
@@ -279,7 +280,7 @@ def main(argv: list[str] | None = None) -> dict:
 
     result: dict = {"platform": platform, "device": str(dev),
                     "commit": commit, "batch": batch, "steps": steps}
-    ctr_rows = [bench_ctr(m, batch=batch, steps=steps, rows=rows_n)
+    ctr_rows = [bench_ctr(m, batch=batch, steps=steps, rows=rows_n, lr=lr)
                 for m in models]
     result["ctr"] = ctr_rows
     if do_din:

@@ -68,6 +68,33 @@ def param_specs(params) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def _uses_model_axis(spec: P) -> bool:
+    return any(
+        ax == MODEL_AXIS
+        or (isinstance(ax, (tuple, list)) and MODEL_AXIS in ax)
+        for ax in spec
+    )
+
+
+def normalize_model_replication(grads, pspecs):
+    """Correct the model-axis replication factor in in-shard_map gradients.
+
+    The per-member loss is REPLICATED over the 'model' axis (every member
+    computes the same ce), so differentiating inside shard_map sums E
+    identical loss copies through the lookup collectives: grads of
+    model-sharded leaves come out E× too large, while replicated dense
+    leaves (whose loss dependence never crosses a collective) stay 1×.
+    Adam's scale invariance masks the inconsistency; FTRL/SGD would not —
+    rescale sharded leaves by 1/E so every leaf carries d(loss)/d(param)
+    exactly once (equivalence asserted in
+    tests/test_spmd.py::test_spmd_grads_match_local_exactly).
+    """
+    e = jax.lax.axis_size(MODEL_AXIS)
+    return jax.tree.map(
+        lambda g, s: g / e if _uses_model_axis(s) else g, grads, pspecs
+    )
+
+
 def opt_specs(pspecs, opt_state_tmpl=None):
     """PartitionSpec tree for an optimizer state: per-param accumulators
     (mu/nu, z/n) inherit their parameter's spec, scalars replicate."""
@@ -157,6 +184,7 @@ def make_spmd_train_step(
         )(params, mstate)
         loss = jax.lax.psum(loss, DATA_AXIS)
         grads = jax.lax.psum(grads, DATA_AXIS)
+        grads = normalize_model_replication(grads, pspecs)
         new_ms = jax.lax.pmean(new_ms, DATA_AXIS)
         new_params, new_opt = opt.update(grads, opt_state, params)
         return new_params, new_ms, new_opt, loss
@@ -221,6 +249,7 @@ def make_spmd_train_step_scanned(
             )(params, mstate)
             loss = jax.lax.psum(loss, DATA_AXIS)
             grads = jax.lax.psum(grads, DATA_AXIS)
+            grads = normalize_model_replication(grads, pspecs)
             new_ms = jax.lax.pmean(new_ms, DATA_AXIS)
             new_params, new_opt = opt.update(grads, opt_state, params)
             return (new_params, new_ms, new_opt, step + 1), loss

@@ -110,3 +110,60 @@ def test_dryrun_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("model_axis", [2, 4])
+def test_spmd_grads_match_local_exactly(model_axis):
+    """Pre-optimizer gradient equivalence at the SPMD-step level: the
+    psum-of-local-grads over 'data' with a2a sharded lookups over 'model'
+    must reproduce the single-device gradient to float32 tolerance (the
+    strong form of the post-Adam check above)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from recsys_tpu.core.mesh import DATA_AXIS
+
+    env = make_virtual_mesh(8, model_axis=model_axis)
+    model = make_model(
+        "fm", SMALL, ModelConfig(embedding_dim=8, dropout=0.0,
+                                 emb_engine="split", split_threshold=16))
+    bsz = 32
+    batch_host = _batch(bsz, seed=3)
+
+    init_key, _ = jax.random.split(jax.random.key(0))
+    params, mstate = model.init(init_key)
+    pspecs = spmd.param_specs(params)
+    msspecs = jax.tree.map(lambda _: P(), mstate)
+    bspecs = spmd.batch_specs(batch_host)
+    emb_ops = spmd.make_sharded_emb_ops(exact=True)
+
+    def shard_fn(p, ms, batch):
+        def local_loss(pp):
+            logits, _ = model.apply(pp, ms, batch, train=False, rng=None,
+                                    emb_ops=emb_ops)
+            labels = batch["label"]
+            ce = jnp.sum(jnp.maximum(logits, 0) - logits * labels
+                         + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            return ce / bsz
+        g = jax.lax.psum(jax.grad(local_loss)(p), DATA_AXIS)
+        return spmd.normalize_model_replication(g, pspecs)
+
+    sharded = shard_map(shard_fn, mesh=env.mesh,
+                        in_specs=(pspecs, msspecs, bspecs),
+                        out_specs=pspecs, check_vma=False)
+    p_placed = spmd.place(params, pspecs, env)
+    ms_placed = spmd.place(mstate, msspecs, env)
+    b_placed = spmd.place(batch_host, bspecs, env)
+    got = jax.device_get(jax.jit(sharded)(p_placed, ms_placed, b_placed))
+
+    def local_loss(pp):
+        logits, _ = model.apply(pp, mstate, batch_host, train=False, rng=None)
+        labels = batch_host["label"]
+        ce = jnp.sum(jnp.maximum(logits, 0) - logits * labels
+                     + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        return ce / bsz
+    want = jax.device_get(jax.grad(local_loss)(params))
+
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-6, rtol=2e-5)

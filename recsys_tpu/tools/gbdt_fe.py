@@ -57,6 +57,12 @@ def main(argv: list[str] | None = None) -> dict:
             n=int(kv.get("synthetic_rows", 2000)),
             seed=int(kv.get("seed", 0)))
 
+    # shuffle before the train/val split (main.py:23 data.sample) — the
+    # documented Forest-Cover train.csv is grouped by Cover_Type, so an
+    # unshuffled head slice can be single-class and the NCE degenerate
+    rng = np.random.default_rng(int(kv.get("seed", 0)))
+    order = rng.permutation(len(y))
+    x, y = x[order], y[order]
     n_val = max(1, len(y) // 5)
     binary_y = (y == np.unique(y)[0]).astype(np.int64)  # LR stage is binary
     gbdt_lr = G.gbdt_lr_pipeline(

@@ -22,6 +22,7 @@ import logging
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -155,7 +156,7 @@ def bench_din(*, batch: int = 1024, steps: int = 300, seed: int = 0) -> dict:
     return out
 
 
-def bench_cf(seed: int = 0) -> list[dict]:
+def bench_cf(seed: int = 0, workdir: str | None = None) -> list[dict]:
     """VAE-CF family via the product trainer + CDAE — ranking metrics on
     planted synthetic interactions (protocol parity; values are not
     ML-20M-comparable)."""
@@ -164,6 +165,7 @@ def bench_cf(seed: int = 0) -> list[dict]:
     from recsys_tpu.train import metrics as M
     from recsys_tpu.train.vae_loop import VaeTrainConfig, train_vae_cf
 
+    workdir = workdir or tempfile.mkdtemp(prefix="recsys_results_")
     u, i, r = ML.synthetic_interactions(n_users=1200, n_items=400, seed=seed)
     data = ML.preprocess_vae_cf(u, i, r, n_heldout_users=150)
     rows = []
@@ -171,7 +173,7 @@ def bench_cf(seed: int = 0) -> list[dict]:
         cfg = VaeTrainConfig(model=name, latent_dim=32, hidden_dim=128,
                              epochs=25, batch_size=250,
                              total_anneal_steps=2000,
-                             model_dir=f"./results_tmp/{name}")
+                             model_dir=os.path.join(workdir, name))
         t0 = time.perf_counter()
         res = train_vae_cf(data, cfg)
         rows.append({
@@ -198,7 +200,7 @@ def bench_cf(seed: int = 0) -> list[dict]:
     return rows
 
 
-def bench_serving(seed: int = 0) -> list[dict]:
+def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
     """Export a DeepFM and measure REST p50/p99 at the reference's batch
     sizes (deepfm/readme.md:64-73: 0.29 ms @ 200, 0.36 ms @ 500)."""
     import threading
@@ -216,12 +218,13 @@ def bench_serving(seed: int = 0) -> list[dict]:
     mcfg = ModelConfig(name="deepfm")
     model = make_model("deepfm", cfg, mcfg)
     params, state = model.init(jax.random.key(seed))
-    d = "./results_tmp/export_deepfm"
+    workdir = workdir or tempfile.mkdtemp(prefix="recsys_results_")
+    d = os.path.join(workdir, "export_deepfm")
     export_servable(d, "deepfm", params, state, mcfg, cfg)
     sv = Servable(d, buckets=(256, 512))
     sv.warmup()
-    port = 18733
-    server, _ = make_rest_server(sv, port)
+    server, _ = make_rest_server(sv, port=0)  # OS-assigned free port
+    port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     rows = []
@@ -232,7 +235,7 @@ def bench_serving(seed: int = 0) -> list[dict]:
             stats = C.benchmark_serving(
                 lambda f: C.rest_predict(port, f), data, labels,
                 warmup=3, iters=20)
-            rows.append({"batch": n, **stats})
+            rows.append({**stats, "batch": n})  # keep int batch for the 'd' fmt
             log.info("serving batch %d: %s", n, stats)
     finally:
         server.shutdown()
@@ -268,6 +271,7 @@ def main(argv: list[str] | None = None) -> dict:
     do_cf = kv.get("cf", "1") not in ("0", "false")
     do_din = kv.get("din", "1") not in ("0", "false")
     out_path = kv.get("out", "RESULTS.md")
+    workdir = kv.get("workdir") or tempfile.mkdtemp(prefix="recsys_results_")
 
     import jax
     dev = jax.devices()[0]
@@ -287,9 +291,9 @@ def main(argv: list[str] | None = None) -> dict:
         result["din"] = bench_din(batch=min(batch, 1024),
                                   steps=min(steps, 300))
     if do_cf:
-        result["cf"] = bench_cf()
+        result["cf"] = bench_cf(workdir=workdir)
     if do_serving:
-        result["serving"] = bench_serving()
+        result["serving"] = bench_serving(workdir=workdir)
 
     # --- render ---
     md = [

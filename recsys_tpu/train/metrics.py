@@ -145,6 +145,6 @@ def normalized_cross_entropy(y_true: np.ndarray, y_prob: np.ndarray) -> float:
     y_true = np.asarray(y_true, np.float64)
     y_prob = np.clip(np.asarray(y_prob, np.float64), 1e-15, 1 - 1e-15)
     ll = -np.mean(y_true * np.log(y_prob) + (1 - y_true) * np.log(1 - y_prob))
-    p = y_true.mean()
+    p = float(np.clip(y_true.mean(), 1e-15, 1 - 1e-15))  # degenerate base rate
     base = -(p * np.log(p) + (1 - p) * np.log(1 - p))
     return float(ll / base)

@@ -150,7 +150,11 @@ def train_vae_cf(data: VaeCfData, cfg: VaeTrainConfig) -> dict:
         for epoch in range(cfg.epochs):
             order = rng_np.permutation(n_train)
             losses = []
-            for lo in range(0, n_train - bs + 1, bs):
+            # full-epoch coverage incl. the final partial batch
+            # (vae_cf_train_val.py:172 end_idx=min(st+bs, N)); the tail size
+            # n_train % bs is constant across epochs → exactly one extra
+            # compiled shape, no per-epoch recompiles
+            for lo in range(0, n_train, bs):
                 x = jnp.asarray(_dense_rows(data.train, order[lo:lo + bs]))
                 key, sub = jax.random.split(key)
                 anneal = V.anneal_schedule(

@@ -82,7 +82,8 @@ class FusedGatherEngine:
     def table2d(self, params) -> jax.Array:
         return params["table_flat"].reshape(self.v_pad, self.width)
 
-    def lookup(self, params, ids):
+    def lookup(self, params, ids, train: bool = True):
+        del train  # gather is already the inference-optimal path
         gids = emb_table.to_global_ids(ids, self.offsets)
         rows = emb_table.table_gather_flat(params["table_flat"], gids,
                                            self.v_pad, self.width)
@@ -136,12 +137,16 @@ class SplitEngine:
         params["b"] = jnp.zeros((), jnp.float32)
         return params
 
-    def lookup(self, params, ids):
+    def lookup(self, params, ids, train: bool = True):
         small, big = self._partition()
         w = self.width
         outs = []
         if small:
-            outs.append(self._small_rows(params["small"], ids, small))
+            # the one-hot matmul exists to avoid the SCATTER in the backward
+            # pass; inference has no backward, and at serving batch sizes a
+            # plain gather is ~10× cheaper than the [B,Vs] matmul
+            rows_fn = self._small_rows if train else self._small_rows_gather
+            outs.append(rows_fn(params["small"], ids, small))
         if big:
             b_sizes = self._sizes(big)
             offsets = emb_table.field_offsets(b_sizes)
@@ -180,6 +185,14 @@ class SplitEngine:
         inv = np.argsort(np.asarray(small + big))
         rows = jnp.take(rows, jnp.asarray(inv), axis=1)
         return rows[:, :, :-1], rows[:, :, -1]
+
+    def _small_rows_gather(self, table, ids, small_fields):
+        """[B, Fs, D+1] via plain row gather — the inference path."""
+        sizes = self._sizes(small_fields)
+        offsets = emb_table.field_offsets(sizes)
+        sub = ids[:, np.asarray(small_fields, np.int32)]
+        gids = sub + jnp.asarray(offsets)[None, :]
+        return jnp.take(table, gids, axis=0)
 
     def _small_rows(self, table, ids, small_fields):
         """[B, Fs, D+1] via multi-hot @ block-diagonal table expansion."""

@@ -63,14 +63,16 @@ class _CriteoBase:
             params = dict(params, b=jax.numpy.zeros((), jax.numpy.float32))
         return {"tables": params}
 
-    def lookup(self, params, batch, emb_ops: EmbOps):
+    def lookup(self, params, batch, emb_ops: EmbOps, train: bool = True):
         """(emb [B,F,D], wide [B,F]) — local engine fast path by default; an
         EmbOps with ``sharded=True`` (the SPMD path inside shard_map) routes
-        through the engine's dedup + all-to-all sharded lookup."""
+        through the engine's dedup + all-to-all sharded lookup. ``train=False``
+        lets the engine pick its inference path (plain gather — no scatter to
+        avoid when there's no backward)."""
         if emb_ops.sharded:
             return self.engine.lookup_sharded(
                 params["tables"], batch["ids"], exact=emb_ops.a2a_exact)
-        return self.engine.lookup(params["tables"], batch["ids"])
+        return self.engine.lookup(params["tables"], batch["ids"], train=train)
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +100,7 @@ def make_fm(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, wide = base.lookup(params, batch, emb_ops)
+        emb, wide = base.lookup(params, batch, emb_ops, train=train)
         y_1d = jax.nn.relu(
             jnp.sum(wide, axis=1, keepdims=True) + params["tables"]["b"]
         )
@@ -138,7 +140,7 @@ def make_deepfm(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, wide = base.lookup(params, batch, emb_ops)
+        emb, wide = base.lookup(params, batch, emb_ops, train=train)
         y_1d = jax.nn.relu(
             jnp.sum(wide, axis=1, keepdims=True) + params["tables"]["b"]
         )
@@ -187,7 +189,7 @@ def make_dcn(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, _ = base.lookup(params, batch, emb_ops)
+        emb, _ = base.lookup(params, batch, emb_ops, train=train)
         x0 = emb.reshape(emb.shape[0], flat_dim)
         xl = interactions.cross_apply(params["cross"], x0)
         h, dnn_s = nn.mlp_apply(
@@ -241,7 +243,7 @@ def make_xdeepfm(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, wide = base.lookup(params, batch, emb_ops)           # [B,F,D]
+        emb, wide = base.lookup(params, batch, emb_ops, train=train)           # [B,F,D]
         lin = (
             nn.dense(params["lin_dense"], batch["dense"])
             + jnp.sum(wide[:, n_cont:], axis=1, keepdims=True)
@@ -285,7 +287,7 @@ def make_dnn(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, _ = base.lookup(params, batch, emb_ops)
+        emb, _ = base.lookup(params, batch, emb_ops, train=train)
         h, dnn_s = nn.mlp_apply(
             params["dnn"], state["dnn"], emb.reshape(emb.shape[0], flat_dim),
             train=train, dropout_rate=cfg.dropout, rng=rng,

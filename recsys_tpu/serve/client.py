@@ -27,6 +27,59 @@ def features_to_instances(features: dict[str, np.ndarray]) -> list[dict]:
     ]
 
 
+def prepare_body(features: dict[str, np.ndarray],
+                 binary: bool = False) -> bytes:
+    """Pre-serialize a request — the reference client also builds its
+    Examples before timing (grpc_client.py:41-54), so latency benchmarks
+    should time only the round trip. ``binary=True`` uses the NPZ1 columnar
+    format (server.BINARY_MAGIC), the cheap-parse analog of protobuf."""
+    if binary:
+        import io
+        from recsys_tpu.serve.server import BINARY_MAGIC
+        buf = io.BytesIO()
+        np.savez(buf, **{k: np.asarray(v) for k, v in features.items()})
+        return BINARY_MAGIC + buf.getvalue()
+    return json.dumps({"instances": features_to_instances(features)}).encode()
+
+
+def _parse_response(raw: bytes) -> np.ndarray:
+    from recsys_tpu.serve.server import BINARY_MAGIC
+    if raw[:4] == BINARY_MAGIC:
+        import io
+        with np.load(io.BytesIO(raw[4:])) as z:
+            return z["predictions"].astype(np.float32)
+    out = json.loads(raw)
+    if "error" in out:
+        raise RuntimeError(out["error"])
+    return np.asarray(out["predictions"], np.float32)
+
+
+def rest_send(port: int, body: bytes, model_name: str = "model") -> np.ndarray:
+    """POST a prepared request body (JSON or NPZ1) and parse the response."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/models/{model_name}:predict",
+        data=body, headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return _parse_response(resp.read())
+
+
+def make_grpc_stub(port: int):
+    """One channel + stub held across calls (grpc_client.py:58-59)."""
+    import grpc
+
+    channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+    return channel.unary_unary(
+        GRPC_METHOD,
+        request_serializer=lambda b: b,
+        response_deserializer=lambda b: b,
+    )
+
+
+def grpc_send(stub, body: bytes) -> np.ndarray:
+    return _parse_response(stub(body, timeout=30.0))
+
+
 def rest_predict(port: int, features: dict[str, np.ndarray],
                  model_name: str = "model") -> np.ndarray:
     body = json.dumps({"instances": features_to_instances(features)}).encode()

@@ -32,10 +32,18 @@ from recsys_tpu.serve.export import Servable
 
 
 class _MicroBatcher:
-    """Coalesce concurrent predict calls into single device invocations."""
+    """Coalesce concurrent predict calls into single device invocations.
+
+    Batching is *opportunistic* by default (``timeout_ms=0``): a request
+    never waits for company — whatever is already queued when the worker
+    picks up a request rides the same device call. Under concurrent load
+    requests accumulate while a device call is in flight, so batches form
+    naturally without adding idle latency to a lone caller (TF-Serving's
+    ``batch_timeout_micros=0`` behavior). Set ``timeout_ms>0`` to trade
+    single-request latency for bigger coalesced batches."""
 
     def __init__(self, servable: Servable, max_batch: int = 4096,
-                 timeout_ms: float = 2.0):
+                 timeout_ms: float = 0.0):
         self.servable = servable
         self.max_batch = max_batch
         self.timeout_s = timeout_ms / 1000.0
@@ -61,10 +69,10 @@ class _MicroBatcher:
                 continue
             group = [first]
             n = len(next(iter(first["features"].values())))
-            deadline = self.timeout_s
             while n < self.max_batch:
                 try:
-                    nxt = self.q.get(timeout=deadline)
+                    nxt = (self.q.get_nowait() if self.timeout_s <= 0
+                           else self.q.get(timeout=self.timeout_s))
                 except queue.Empty:
                     break
                 group.append(nxt)
@@ -90,6 +98,30 @@ class _MicroBatcher:
 
     def stop(self):
         self._stop = True
+
+
+#: magic prefix for the binary columnar payload (client-side np.savez of the
+#: feature dict) — the cheap-parse analog of TF-Serving's protobuf Examples;
+#: JSON instance lists remain the default wire format.
+BINARY_MAGIC = b"NPZ1"
+
+
+def parse_request(body: bytes) -> tuple[dict[str, np.ndarray], bool]:
+    """bytes → (features, was_binary). Binary = NPZ1 + np.savez archive."""
+    if body[:4] == BINARY_MAGIC:
+        import io
+        with np.load(io.BytesIO(body[4:])) as z:
+            return {k: z[k] for k in z.files}, True
+    return _instances_to_features(json.loads(body)["instances"]), False
+
+
+def encode_response(probs: np.ndarray, binary: bool) -> bytes:
+    if binary:
+        import io
+        buf = io.BytesIO()
+        np.savez(buf, predictions=np.asarray(probs, np.float32))
+        return BINARY_MAGIC + buf.getvalue()
+    return json.dumps({"predictions": [float(p) for p in probs]}).encode()
 
 
 def _instances_to_features(instances: list[dict]) -> dict[str, np.ndarray]:
@@ -121,12 +153,9 @@ def make_rest_server(servable: Servable, port: int,
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(length))
-                feats = _instances_to_features(body["instances"])
+                feats, binary = parse_request(self.rfile.read(length))
                 probs = batcher.predict(feats)
-                out = json.dumps(
-                    {"predictions": [float(p) for p in probs]}
-                ).encode()
+                out = encode_response(probs, binary)
                 self.send_response(200)
             except Exception as e:
                 out = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
@@ -168,10 +197,9 @@ def make_grpc_server(servable: Servable, port: int,
     batcher = batcher or _MicroBatcher(servable)
 
     def predict_handler(request_bytes: bytes, context) -> bytes:
-        body = json.loads(request_bytes)
-        feats = _instances_to_features(body["instances"])
+        feats, binary = parse_request(request_bytes)
         probs = batcher.predict(feats)
-        return json.dumps({"predictions": [float(p) for p in probs]}).encode()
+        return encode_response(probs, binary)
 
     handler = grpc.method_handlers_generic_handler(
         "recsys.Predictor",

@@ -200,9 +200,59 @@ def bench_cf(seed: int = 0, workdir: str | None = None) -> list[dict]:
     return rows
 
 
+def _bench_cpu_serving(export_dir: str) -> list[dict]:
+    """Latency-mode serving: spawn `train_ctr serve --device=cpu` (its own
+    process so this process's TPU backend is untouched) and measure REST
+    p50/p99 — the apples-to-apples row against the reference's CPU
+    TF-Serving numbers (deepfm/readme.md:64-73)."""
+    from recsys_tpu.core.config import CriteoConfig
+    from recsys_tpu.data import criteo
+    from recsys_tpu.serve import client as C
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "recsys_tpu.tools.train_ctr", "serve",
+         f"--export_dir={export_dir}", "--port=0", "--device=cpu",
+         "--buckets=256,512"],
+        stderr=subprocess.PIPE, text=True)
+    port = None
+    try:
+        for line in proc.stderr:      # wait for "serving <m> on REST:<port>"
+            if "serving" in line and "REST:" in line:
+                port = int(line.rsplit("REST:", 1)[1].split()[0])
+                break
+        if port is None:
+            raise RuntimeError("cpu serve process died before binding")
+        rows = []
+        cfg = CriteoConfig()
+        stub = C.make_grpc_stub(port + 1)
+        for n in (200, 500):
+            data = criteo.synthetic_criteo(n, cfg)
+            labels = data.pop("label")
+            # end-to-end REST: client encode + HTTP + parse every call
+            stats = C.benchmark_serving(
+                lambda f: C.rest_predict(port, f), data, labels,
+                warmup=3, iters=50)
+            rows.append({**stats, "batch": n, "device": "cpu",
+                         "protocol": "rest+encode"})
+            # reference-parity gRPC: request pre-built before timing
+            # (grpc_client.py:41-54 builds Examples outside the clock)
+            body = C.prepare_body(data, binary=True)
+            stats = C.benchmark_serving(
+                lambda _: C.grpc_send(stub, body), data, labels,
+                warmup=3, iters=50)
+            rows.append({**stats, "batch": n, "device": "cpu",
+                         "protocol": "grpc prepared"})
+            log.info("cpu serving batch %d: %s", n, rows[-2:])
+        return rows
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
 def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
     """Export a DeepFM and measure REST p50/p99 at the reference's batch
-    sizes (deepfm/readme.md:64-73: 0.29 ms @ 200, 0.36 ms @ 500)."""
+    sizes (deepfm/readme.md:64-73: 0.29 ms @ 200, 0.36 ms @ 500), on the
+    current device (throughput mode) and on CPU (latency mode)."""
     import threading
 
     import jax
@@ -235,10 +285,13 @@ def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
             stats = C.benchmark_serving(
                 lambda f: C.rest_predict(port, f), data, labels,
                 warmup=3, iters=20)
-            rows.append({**stats, "batch": n})  # keep int batch for the 'd' fmt
+            rows.append({**stats, "batch": n,
+                         "device": jax.default_backend(),
+                         "protocol": "rest+encode"})
             log.info("serving batch %d: %s", n, stats)
     finally:
         server.shutdown()
+    rows += _bench_cpu_serving(d)
     return rows
 
 
@@ -349,6 +402,8 @@ def main(argv: list[str] | None = None) -> dict:
         md += ["", "## Serving (DeepFM REST, in-process server; reference: "
                "0.29 ms @ 200 / 0.36 ms @ 500 on TF-Serving CPU)", "",
                _md_table(result["serving"], [
+                   ("device", "device", ""),
+                   ("protocol", "protocol", ""),
                    ("batch", "batch", "d"),
                    ("p50 ms", "latency_ms_p50", ".2f"),
                    ("p99 ms", "latency_ms_p99", ".2f"),

@@ -39,7 +39,7 @@ def main(argv: list[str] | None = None) -> dict:
     # flat (non-config-section) args, e.g. --data_dir=...; everything else
     # with a '=' is a --section.key=value RunConfig override
     _FLAT = ("--data_dir", "--export_dir", "--port", "--synthetic_rows",
-             "--hbm_data_budget")
+             "--hbm_data_budget", "--device", "--buckets")
     overrides = [a for a in argv if a.startswith("--") and "=" in a
                  and not a.startswith(_FLAT)]
     kv = dict(
@@ -50,13 +50,23 @@ def main(argv: list[str] | None = None) -> dict:
     logging.getLogger("recsys_tpu").info("config: %s", to_json(cfg))
 
     if task == "serve":
-        from recsys_tpu.serve.export import Servable
+        # --device=cpu: latency-optimized serving (the reference serves on
+        # CPU TF-Serving, deepfm/readme.md:64-73). Small-batch predicts are
+        # host-RTT-bound on a (tunneled) TPU; on-host CPU inference of these
+        # tiny towers is sub-ms. TPU serving remains the throughput mode.
+        if kv.get("device") == "cpu":
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        from recsys_tpu.serve.export import DEFAULT_BUCKETS, Servable
         from recsys_tpu.serve.server import make_grpc_server, make_rest_server
 
-        sv = Servable(kv["export_dir"])
+        buckets = (tuple(int(b) for b in kv["buckets"].split(","))
+                   if "buckets" in kv else DEFAULT_BUCKETS)
+        sv = Servable(kv["export_dir"], buckets=buckets)
         sv.warmup()
         port = int(kv.get("port", 8500))
         rest, batcher = make_rest_server(sv, port)
+        port = rest.server_address[1]  # resolves --port=0 to the bound port
         grpc_srv, _ = make_grpc_server(sv, port + 1, batcher)
         grpc_srv.start()
         logging.getLogger("recsys_tpu").info(

@@ -168,3 +168,25 @@ def test_a2a_overflow_diagnostic(rng):
     skew = np.zeros((8, 5), np.int32)
     assert SE.a2a_overflow(skew, num_shards=4, shard_rows=16,
                            cap_factor=0.04) >= 0
+
+
+def test_split_engine_infer_gather_matches_train_matmul():
+    """SplitEngine.lookup(train=False) (plain gather) must equal the
+    training-path one-hot matmul exactly (same table rows either way)."""
+    import jax
+    import numpy as np
+    from recsys_tpu.core.config import EmbeddingConfig
+    from recsys_tpu.embeddings.engines import SplitEngine
+
+    cfg = EmbeddingConfig(field_vocab_sizes=(7, 3000, 50, 11), embedding_dim=8)
+    eng = SplitEngine(cfg, threshold=64)
+    params = eng.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    ids = np.stack([rng.integers(0, v, 32) for v in cfg.field_vocab_sizes],
+                   axis=1).astype(np.int32)
+    emb_t, wide_t = eng.lookup(params, ids, train=True)
+    emb_i, wide_i = eng.lookup(params, ids, train=False)
+    np.testing.assert_allclose(np.asarray(emb_t), np.asarray(emb_i),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wide_t), np.asarray(wide_i),
+                               rtol=1e-6, atol=1e-6)

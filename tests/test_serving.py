@@ -134,3 +134,31 @@ def test_din_export_serve_round_trip(tmp_path):
     finally:
         server.shutdown()
         batcher.stop()
+
+
+def test_binary_prepared_round_trip(exported):
+    """NPZ1 columnar payloads over REST and gRPC match the JSON path."""
+    sv = Servable(exported, buckets=(8, 32))
+    rest, batcher = make_rest_server(sv, port=0)
+    port = rest.server_address[1]
+    t = threading.Thread(target=rest.serve_forever, daemon=True)
+    t.start()
+    grpc_srv, _ = make_grpc_server(sv, port + 1, batcher)
+    grpc_srv.start()
+    try:
+        feats, _ = _features(11)
+        body = C.prepare_body(feats, binary=True)
+        via_rest = C.rest_send(port, body)
+        stub = C.make_grpc_stub(port + 1)
+        via_grpc = C.grpc_send(stub, body)
+        direct = sv.predict(feats)
+        np.testing.assert_allclose(via_rest, direct, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(via_grpc, direct, rtol=1e-4, atol=1e-5)
+        # JSON prepared body goes through the same send path
+        np.testing.assert_allclose(
+            C.rest_send(port, C.prepare_body(feats)), direct,
+            rtol=1e-4, atol=1e-5)
+    finally:
+        rest.shutdown()
+        grpc_srv.stop(0)
+        batcher.stop()

@@ -91,29 +91,33 @@ def cin_apply(params, x0: jax.Array) -> jax.Array:
 
     The reference realizes each layer as D embedding-dim splits + batched
     matmul + conv1d (xdeepfm/xdeepfm.py:145-158). On TPU this collapses to a
-    single einsum chain per layer:
+    single matmul chain per layer:
 
-        z_k[b,d,p,q] = x0[b,p,d] · x_k[b,q,d]
-        x_{k+1}[b,h,d] = relu( Σ_{p,q} z_k[b,d,p,q] · W_k[p·F_k+q, h] + b_h )
+        z_k[(b,d), p·F_k+q] = x0[b,p,d] · x_k[(b,d), q]
+        x_{k+1}[(b,d), h]   = relu( z_k @ W_k + b_h )
 
     i.e. one [B·D, F0·Fk] × [F0·Fk, H] matmul per layer — MXU-shaped.
+    Layout note: every feature map is carried as [B·D, F] (embedding dim
+    fused into rows, fields on lanes) so the z outer product is a pure
+    broadcast-multiply and its [B·D, F0·Fk] reshape is free in row-major —
+    the [B,F,D]-layout einsum formulation spent 11× the device time in
+    relayout transposes of the ~800 MB z tensor and its cotangent (measured
+    on v5e: 150.7 → 13.7 ms fwd+bwd at B=8192).
     Direct-connect: every layer's output sum-pooled over D and concatenated
     (xdeepfm/xdeepfm.py:172-181).
     """
     b, f0, d = x0.shape
-    xk = x0
+    x0v = x0.transpose(0, 2, 1).reshape(b * d, f0)   # one transpose at entry
+    xkv = x0v
     pooled = []
     for layer in params:
-        fk = xk.shape[1]
-        # [B, D, F0, Fk] -> [B*D, F0*Fk]; index p*Fk+q matches the
-        # reference's reshape of matmul(split0, split_k^T).
-        z = jnp.einsum("bpd,bqd->bdpq", x0, xk)
-        z = z.reshape(b * d, f0 * fk)
+        fk = xkv.shape[-1]
+        # index p*Fk+q matches the reference's reshape of
+        # matmul(split0, split_k^T).
+        z = (x0v[:, :, None] * xkv[:, None, :]).reshape(b * d, f0 * fk)
         out = jnp.dot(z, layer["w"], preferred_element_type=jnp.float32)
-        out = jax.nn.relu(out + layer["b"])
-        h = out.shape[-1]
-        xk = out.reshape(b, d, h).transpose(0, 2, 1)     # [B, H, D]
-        pooled.append(jnp.sum(xk, axis=2))               # [B, H]
+        xkv = jax.nn.relu(out + layer["b"])          # [B·D, H]
+        pooled.append(jnp.sum(xkv.reshape(b, d, -1), axis=1))   # [B, H]
     return jnp.concatenate(pooled, axis=1)
 
 

@@ -46,14 +46,25 @@ def device_breakdown(trace_dir: str, top: int = 15) -> list[dict]:
         raise FileNotFoundError(f"no trace under {trace_dir}")
     with gzip.open(sorted(paths)[-1]) as f:
         trace = json.load(f)
+    # device tracks only: keep pids whose process_name mentions the
+    # accelerator (host python/runtime frames otherwise drown the table)
+    dev_pids = set()
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pname = (e.get("args") or {}).get("name", "")
+            if any(t in pname for t in ("TPU", "/device:", "XLA Op")):
+                dev_pids.add(e.get("pid"))
     dur = collections.Counter()
     cnt = collections.Counter()
     args_by_name: dict = {}
     for e in trace.get("traceEvents", []):
         if e.get("ph") == "X" and "dur" in e:
+            if dev_pids and e.get("pid") not in dev_pids:
+                continue
             name = e.get("name", "?")
-            # keep only device-level op events (skip python/runtime frames)
-            if name.startswith("$") or "/" in name[:1]:
+            # keep only device-level op events (skip python/runtime frames
+            # and the numeric step-lane aggregates)
+            if name.startswith("$") or "/" in name[:1] or name.isdigit():
                 continue
             dur[name] += e["dur"]
             cnt[name] += 1
@@ -90,6 +101,6 @@ def annotate_with_hlo(rows: list[dict], compiled_text: str) -> list[dict]:
 
 def print_breakdown(rows: list[dict]) -> None:
     for r in rows:
-        src = r.get("op_name", "")
+        src = r.get("op_name") or ""
         print(f"{r['total_ms']:10.2f} ms  x{r['count']:4d}  {r['op'][:40]:40s}"
               f"  {src[:80]}")

@@ -1,9 +1,14 @@
 """Interaction ops: FM pairwise, DCN cross, CIN, DIN attention.
 
 XLA-native formulations of the four interaction towers in the reference
-model zoo. These are the canonical (autodiff-friendly, fully fused by XLA)
-implementations; `recsys_tpu.ops.pallas_kernels` provides hand-written Pallas
-versions of the hot ones, verified against these in tests.
+model zoo, shaped so XLA's fusion lands on the MXU with no relayouts (see
+`cin_apply` for the measured 11× layout effect). The hottest op of the
+training step — the embedding-gradient scatter — lives as a hand-written
+Pallas kernel in `recsys_tpu.ops.pallas_kernels` (wired into the engines'
+lookup path); Pallas variants of the interaction ops themselves were
+prototyped and measured slower than these XLA forms at the zoo's shapes
+(small K/N matmuls are MXU-latency-bound; the XLA z-matmul formulation is
+bandwidth-optimal once the layout is right).
 
 Shapes use B=batch, F=num fields, D=embedding dim, H=CIN feature maps,
 P=padded history length, K=embedding dim (DIN).

@@ -1,0 +1,24 @@
+"""Scaling bench: worker subprocess runs, efficiency + collective math."""
+
+from recsys_tpu.tools.bench_scaling import collective_sizes, main
+
+
+def test_collective_sizes_scale_with_unique_ids():
+    c2 = collective_sizes(batch=8192, model_axis=2, width=17)
+    c4 = collective_sizes(batch=8192, model_axis=4, width=17)
+    # capacity per (src,dst) pair shrinks as shards grow (dedup design):
+    assert c4["a2a_capacity_ids_per_pair"] < c2["a2a_capacity_ids_per_pair"]
+    # per-device bytes bounded by ids*width*4 — far below the [B,F,D]
+    # activation a psum design would all-reduce
+    full_activation = 8192 * 39 * 17 * 4
+    assert c2["activation_return_bytes_per_device"] < full_activation
+
+
+def test_weak_scaling_two_meshes():
+    result = main(["--devices=1,2", "--batch_per_device=128", "--steps=4"])
+    rows = result["weak_scaling"]
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert rows[0]["parallel_efficiency"] == 1.0
+    assert 0.0 < rows[1]["parallel_efficiency"] <= 1.5
+    for r in rows:
+        assert r["loss"] < 2.0  # step actually trained, loss finite/sane

@@ -190,6 +190,7 @@ def synthetic_criteo(
     cfg: CriteoConfig = CriteoConfig(),
     spec: SyntheticSpec = SyntheticSpec(),
     start_row: int = 0,
+    _return_prob: bool = False,
 ) -> dict[str, np.ndarray]:
     """Deterministic synthetic batch with learnable structure.
 
@@ -219,10 +220,33 @@ def synthetic_criteo(
 
     prob = 1.0 / (1.0 + np.exp(-logit))
     label = (row_rng.random(num_rows) < prob).astype(np.float32)
-    return {
+    out = {
         "ids": ids,
         "dense": np.log1p(dense).astype(np.float32),
         "label": label,
+    }
+    if _return_prob:
+        out["_true_prob"] = prob
+    return out
+
+
+def synthetic_bayes_metrics(
+    num_rows: int,
+    cfg: CriteoConfig = CriteoConfig(),
+    spec: SyntheticSpec = SyntheticSpec(),
+    start_row: int = 0,
+) -> dict[str, float]:
+    """AUC/logloss of the TRUE planted probabilities on a slice — the Bayes
+    ceiling no model can beat (in expectation). Reported next to trained
+    metrics so the quality tables are interpretable as distance-to-ceiling."""
+    from sklearn.metrics import roc_auc_score
+
+    d = synthetic_criteo(num_rows, cfg, spec, start_row, _return_prob=True)
+    p = np.clip(d["_true_prob"], 1e-12, 1 - 1e-12)
+    y = d["label"]
+    return {
+        "auc": float(roc_auc_score(y, p)),
+        "logloss": float(-np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))),
     }
 
 

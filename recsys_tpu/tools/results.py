@@ -337,9 +337,14 @@ def main(argv: list[str] | None = None) -> dict:
 
     result: dict = {"platform": platform, "device": str(dev),
                     "commit": commit, "batch": batch, "steps": steps}
+    from recsys_tpu.data.criteo import synthetic_bayes_metrics
+    eval_rows = max(8 * batch, 65536)
+    ceiling = synthetic_bayes_metrics(eval_rows, start_row=10 * rows_n)
+    result["bayes_ceiling"] = ceiling
     ctr_rows = [bench_ctr(m, batch=batch, steps=steps, rows=rows_n, lr=lr)
                 for m in models]
     result["ctr"] = ctr_rows
+    ctr_rows = ctr_rows + [{"model": "(bayes ceiling)", **ceiling}]
     if do_din:
         result["din"] = bench_din(batch=min(batch, 1024),
                                   steps=min(steps, 300))
@@ -358,9 +363,11 @@ def main(argv: list[str] | None = None) -> dict:
         "",
         "Quality numbers are on the repo's planted synthetic tasks (fixed "
         "seeds), so they are regression targets for THIS framework — not "
-        "comparable to the reference's real-dataset AUC. Throughput IS "
-        "comparable: `vs reference` divides our examples/s/chip by the "
-        "reference's 2-GPU examples/s (BASELINE.md).",
+        "comparable to the reference's real-dataset AUC. The `(bayes "
+        "ceiling)` row is the AUC/logloss of the planted ground-truth "
+        "probabilities on the same eval slice — the best any model could "
+        "do. Throughput IS comparable: `vs reference` divides our "
+        "examples/s/chip by the reference's 2-GPU examples/s (BASELINE.md).",
         "",
         f"## CTR zoo (synthetic Criteo, 39 fields, emb 16, batch {batch})",
         "",

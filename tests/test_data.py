@@ -94,3 +94,17 @@ def test_device_prefetch(tmp_path):
     assert out[0]["ids"].shape == (64, 39)
     # sharded over the data axis
     assert len(out[0]["ids"].sharding.device_set) == 8
+
+
+def test_synthetic_bayes_ceiling():
+    """True-probability metrics beat any trained model and are deterministic."""
+    from recsys_tpu.data.criteo import synthetic_bayes_metrics
+
+    m1 = synthetic_bayes_metrics(20000, start_row=0)
+    m2 = synthetic_bayes_metrics(20000, start_row=0)
+    assert m1 == m2
+    assert 0.80 < m1["auc"] < 0.95
+    assert 0.3 < m1["logloss"] < 0.6
+    # the "_true_prob" key never leaks into the training dict
+    from recsys_tpu.data.criteo import synthetic_criteo
+    assert set(synthetic_criteo(64).keys()) == {"ids", "dense", "label"}

@@ -11,7 +11,7 @@ serving latency percentiles.
 
 Usage:
     python -m recsys_tpu.tools.results \
-        [--out=RESULTS.md] [--batch=8192] [--steps=1024] [--rows=8388608] \
+        [--out=RESULTS.md] [--batch=16384] [--steps=rows/batch] [--rows=8388608] \
         [--serving=1] [--models=fm,deepfm,...]
 
 Default CTR protocol: ONE epoch over 8M distinct synthetic rows (steps ×
@@ -332,7 +332,7 @@ def main(argv: list[str] | None = None) -> dict:
     argv = argv if argv is not None else sys.argv[1:]
     kv = dict(a[2:].split("=", 1) for a in argv
               if a.startswith("--") and "=" in a)
-    batch = int(kv.get("batch", 8192))
+    batch = int(kv.get("batch", 16384))
     rows_n = int(kv.get("rows", 8_388_608))
     steps = int(kv.get("steps", max(1, rows_n // batch)))   # one epoch
     lr = float(kv.get("lr", 2e-3))

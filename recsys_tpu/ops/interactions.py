@@ -92,6 +92,18 @@ def cin_init(key, num_fields: int, layer_sizes: tuple[int, ...],
 
 
 def cin_apply(params, x0: jax.Array) -> jax.Array:
+    """CIN forward → pooled concat [B, Σ_k H_k]; dispatches to the fused
+    Pallas layer kernel on TPU (`pallas_cin.cin_apply_fused` — no HBM z
+    tensor, measured 41.6 → 14.6 ms fwd+bwd at B=16384) and to the XLA
+    z-matmul formulation elsewhere. Equivalence pinned by
+    tests/test_pallas_cin.py."""
+    if jax.default_backend() == "tpu":
+        from recsys_tpu.ops import pallas_cin
+        return pallas_cin.cin_apply_fused(params, x0)
+    return cin_apply_xla(params, x0)
+
+
+def cin_apply_xla(params, x0: jax.Array) -> jax.Array:
     """CIN forward → pooled feature map concat, shape [B, Σ_k H_k].
 
     The reference realizes each layer as D embedding-dim splits + batched

@@ -48,11 +48,22 @@ class _MicroBatcher:
         self.max_batch = max_batch
         self.timeout_s = timeout_ms / 1000.0
         self.q: queue.Queue = queue.Queue()
+        self._inline = threading.Lock()
         self._stop = False
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
     def predict(self, features: dict[str, np.ndarray]) -> np.ndarray:
+        # Uncontended fast path: nothing queued and no inline call running →
+        # predict on the caller thread. The queue+event handoff costs two
+        # scheduler wake-ups (~1-3 ms under GIL pressure); a lone request
+        # should not pay it. Under load the lock is held / the queue is
+        # non-empty, so requests fall through to the coalescing worker.
+        if self.q.empty() and self._inline.acquire(blocking=False):
+            try:
+                return self.servable.predict(features)
+            finally:
+                self._inline.release()
         ev = threading.Event()
         slot: dict = {"features": features, "event": ev}
         self.q.put(slot)

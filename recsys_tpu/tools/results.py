@@ -259,7 +259,15 @@ def _bench_cpu_serving(export_dir: str) -> list[dict]:
                 warmup=3, iters=50)
             rows.append({**stats, "batch": n, "device": "cpu",
                          "protocol": "grpc prepared"})
-            log.info("cpu serving batch %d: %s", n, rows[-2:])
+            # framework fast path: persistent socket, length-prefixed NPZ1
+            from recsys_tpu.serve.fastsock import SocketClient
+            sc = SocketClient(port + 2)
+            stats = C.benchmark_serving(
+                lambda _: sc.send(body), data, labels, warmup=3, iters=50)
+            sc.close()
+            rows.append({**stats, "batch": n, "device": "cpu",
+                         "protocol": "socket prepared"})
+            log.info("cpu serving batch %d: %s", n, rows[-3:])
         return rows
     finally:
         proc.terminate()
@@ -354,21 +362,44 @@ def main(argv: list[str] | None = None) -> dict:
 
     result: dict = {"platform": platform, "device": str(dev),
                     "commit": commit, "batch": batch, "steps": steps}
+    # partial re-runs (--models=subset / --cf=0 / --din=0 / --serving=0)
+    # patch the existing RESULTS.json instead of dropping sections
+    json_path = os.path.splitext(out_path)[0] + ".json"
+    old: dict = {}
+    if os.path.exists(json_path):
+        try:
+            with open(json_path) as f:
+                old = json.load(f)
+        except Exception:
+            old = {}
     from recsys_tpu.data.criteo import synthetic_bayes_metrics
     eval_rows = max(8 * batch, 65536)
     ceiling = synthetic_bayes_metrics(eval_rows, start_row=10 * rows_n)
     result["bayes_ceiling"] = ceiling
-    ctr_rows = [bench_ctr(m, batch=batch, steps=steps, rows=rows_n, lr=lr)
-                for m in models]
+    do_ctr = kv.get("ctr", "1") not in ("0", "false")
+    new_ctr = ([bench_ctr(m, batch=batch, steps=steps, rows=rows_n, lr=lr)
+                for m in models] if do_ctr else [])
+    by_model = {r["model"]: r for r in old.get("ctr", [])}
+    by_model.update({r["model"]: r for r in new_ctr})
+    ctr_rows = ([by_model[m] for m in CTR_MODELS if m in by_model]
+                or new_ctr)
     result["ctr"] = ctr_rows
     ctr_rows = ctr_rows + [{"model": "(bayes ceiling)", **ceiling}]
     if do_din:
         result["din"] = bench_din(batch=min(batch, 1024),
                                   steps=min(steps, 300))
+    elif "din" in old:
+        result["din"] = old["din"]
     if do_cf:
         result["cf"] = bench_cf(workdir=workdir)
+    elif "cf" in old:
+        result["cf"] = old["cf"]
     if do_serving:
         result["serving"] = bench_serving(workdir=workdir)
+    elif "serving" in old:
+        result["serving"] = old["serving"]
+    do_din, do_cf, do_serving = ("din" in result, "cf" in result,
+                                 "serving" in result)
 
     # --- render ---
     md = [
@@ -438,7 +469,6 @@ def main(argv: list[str] | None = None) -> dict:
 
     with open(out_path, "w") as f:
         f.write("\n".join(md))
-    json_path = os.path.splitext(out_path)[0] + ".json"
     with open(json_path, "w") as f:
         json.dump(result, f, indent=1)
     log.info("wrote %s and %s", out_path, json_path)

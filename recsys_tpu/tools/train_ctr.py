@@ -69,8 +69,12 @@ def main(argv: list[str] | None = None) -> dict:
         port = rest.server_address[1]  # resolves --port=0 to the bound port
         grpc_srv, _ = make_grpc_server(sv, port + 1, batcher)
         grpc_srv.start()
+        from recsys_tpu.serve.fastsock import SocketServer
+        sock_srv = SocketServer(sv, port + 2, batcher)
+        sock_srv.start()
         logging.getLogger("recsys_tpu").info(
-            "serving %s on REST:%d gRPC:%d", sv.model_name, port, port + 1)
+            "serving %s on REST:%d gRPC:%d socket:%d",
+            sv.model_name, port, port + 1, port + 2)
         rest.serve_forever()
         return {}
 

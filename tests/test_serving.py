@@ -162,3 +162,30 @@ def test_binary_prepared_round_trip(exported):
         rest.shutdown()
         grpc_srv.stop(0)
         batcher.stop()
+
+
+def test_socket_round_trip(exported):
+    from recsys_tpu.serve.fastsock import SocketClient, SocketServer
+
+    sv = Servable(exported, buckets=(8, 32))
+    srv = SocketServer(sv, port=0)
+    srv.start()
+    try:
+        feats, _ = _features(12)
+        sc = SocketClient(srv.port)
+        probs = sc.predict(feats)
+        assert probs.shape == (12,)
+        # matches the direct servable path exactly
+        np.testing.assert_allclose(probs, sv.predict(feats),
+                                   rtol=1e-6, atol=1e-7)
+        # JSON body works over the same wire
+        probs_json = sc.send(C.prepare_body(feats, binary=False))
+        np.testing.assert_allclose(probs_json, probs, rtol=1e-5, atol=1e-6)
+        # error frame surfaces as an exception, connection stays usable
+        with pytest.raises(RuntimeError):
+            sc.send(b'{"instances": [{"bogus": 1}]}')
+        np.testing.assert_allclose(sc.predict(feats), probs,
+                                   rtol=1e-6, atol=1e-7)
+        sc.close()
+    finally:
+        srv.shutdown()

@@ -83,8 +83,10 @@ class ShardSource:
                 data = self._load_shard(int(si))
                 n = len(next(iter(data.values())))
                 if self.shuffle:
+                    from recsys_tpu.data import native
                     perm = rng.permutation(n)
-                    data = {k: v[perm] for k, v in data.items()}
+                    data = {k: native.gather_rows(v, perm)
+                            for k, v in data.items()}
                 if carry is not None:
                     data = {
                         k: np.concatenate([carry[k], v]) for k, v in data.items()

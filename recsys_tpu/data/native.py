@@ -18,6 +18,7 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "criteo_parser.cc")
+_SRC_GATHER = os.path.join(_REPO_ROOT, "native", "row_gather.cc")
 _BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
 _SO = os.path.join(_BUILD_DIR, "libcriteo_parser.so")
 
@@ -30,8 +31,8 @@ def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _SO, _SRC],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", _SO, _SRC, _SRC_GATHER],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -46,9 +47,10 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        srcs = [s for s in (_SRC, _SRC_GATHER) if os.path.exists(s)]
         if not os.path.exists(_SO) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+            srcs and max(os.path.getmtime(s) for s in srcs)
+            > os.path.getmtime(_SO)
         ):
             if not _build():
                 return None
@@ -63,6 +65,13 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_long),
         ]
+        if hasattr(lib, "gather_rows"):
+            lib.gather_rows.restype = None
+            lib.gather_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -95,3 +104,26 @@ def parse_criteo_bytes(
         ctypes.byref(consumed),
     )
     return labels[:n], cont[:n], cat[:n], consumed.value
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray,
+                n_threads: int | None = None) -> np.ndarray:
+    """out[i] = src[idx[i]] — the host pipeline's shuffle gather
+    (native/row_gather.cc), threaded memcpy per row slice. Falls back to
+    numpy fancy indexing when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gather_rows"):
+        return src[idx]
+    src = np.ascontiguousarray(src)
+    idx64 = np.ascontiguousarray(idx, np.int64)
+    out = np.empty((len(idx64),) + src.shape[1:], src.dtype)
+    row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.gather_rows(
+        src.ctypes.data_as(ctypes.c_char_p),
+        out.ctypes.data_as(ctypes.c_char_p),
+        idx64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(idx64), row_bytes, int(n_threads),
+    )
+    return out

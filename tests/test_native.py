@@ -75,3 +75,19 @@ def test_throughput_smoke():
     assert len(labels) == 20000
     # native path should parse >100k rows/s even on weak hosts
     assert 20000 / dt > 100_000, f"{20000/dt:.0f} rows/s"
+
+
+def test_gather_rows_parity_and_fallback():
+    import numpy as np
+    from recsys_tpu.data import native
+
+    rng = np.random.default_rng(0)
+    for shape, dtype in (((1000, 13), np.float32), ((1000, 26), np.int32),
+                         ((1000,), np.float32)):
+        src = (rng.normal(size=shape) * 100).astype(dtype)
+        idx = rng.permutation(len(src))[:700]
+        np.testing.assert_array_equal(native.gather_rows(src, idx), src[idx])
+    # repeated + out-of-order indices
+    src = np.arange(50, dtype=np.int32).reshape(25, 2)
+    idx = np.array([3, 3, 0, 24, 7])
+    np.testing.assert_array_equal(native.gather_rows(src, idx), src[idx])

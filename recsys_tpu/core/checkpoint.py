@@ -60,15 +60,30 @@ class CheckpointManager:
         (higher is better — the reference retains best NDCG,
         vae_cf_train_val.py:224-226)."""
         path = os.path.join(self.directory, f"step_{step}")
-        self._write(path, step, tree, metric, extra)
+        # Crash-atomic: write under a .tmp name, publish with one rename.
+        # A preemption mid-write leaves only step_N.tmp, which _step_dirs'
+        # regex never matches — resume-from-latest always sees a complete
+        # checkpoint (the elastic-recovery guarantee estimator gives via
+        # its Saver, SURVEY §5.3/§5.4).
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._write(tmp, step, tree, metric, extra)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
         if metric is not None and (
             self._best_metric is None or metric > self._best_metric
         ):
             self._best_metric = metric
             best = os.path.join(self.directory, "best")
+            best_tmp = best + ".tmp"
+            if os.path.exists(best_tmp):
+                shutil.rmtree(best_tmp)
+            shutil.copytree(path, best_tmp)
             if os.path.exists(best):
                 shutil.rmtree(best)
-            shutil.copytree(path, best)
+            os.rename(best_tmp, best)
         # retention
         dirs = self._step_dirs()
         for _, old in dirs[: max(0, len(dirs) - self.keep_max)]:

@@ -168,3 +168,27 @@ def test_deepfm_demo_schema_learns(tmp_path):
     metrics = loop.train_and_evaluate(
         model, train_batches(), eval_batches, cfg, num_steps=600)
     assert metrics["auc"] > 0.60, metrics
+
+
+def test_checkpoint_crash_atomic_resume(tmp_path):
+    """A partial (crashed mid-write) step dir must be invisible to
+    latest_step/restore; a leftover .tmp from a crash is ignored."""
+    import os
+    import numpy as np
+
+    mgr = CheckpointManager(str(tmp_path), keep_max=3)
+    tree = {"w": np.arange(4, dtype=np.float32)}
+    mgr.save(1, tree)
+    # simulate a crash mid-write of step 2: only the .tmp dir exists
+    os.makedirs(tmp_path / "step_2.tmp")
+    with open(tmp_path / "step_2.tmp" / "meta.json", "w") as f:
+        f.write("{")                       # truncated garbage
+    assert mgr.latest_step() == 1
+    restored = mgr.restore({"w": np.zeros(4, np.float32)})
+    assert restored is not None
+    got, step, _ = restored
+    assert step == 1
+    np.testing.assert_array_equal(got["w"], tree["w"])
+    # next save of the same step recovers: tmp is replaced, publish works
+    mgr.save(2, {"w": np.ones(4, np.float32)})
+    assert mgr.latest_step() == 2

@@ -110,12 +110,21 @@ def gather_rows(src: np.ndarray, idx: np.ndarray,
                 n_threads: int | None = None) -> np.ndarray:
     """out[i] = src[idx[i]] — the host pipeline's shuffle gather
     (native/row_gather.cc), threaded memcpy per row slice. Falls back to
-    numpy fancy indexing when the native library is unavailable."""
-    lib = get_lib()
-    if lib is None or not hasattr(lib, "gather_rows"):
-        return src[idx]
+    numpy fancy indexing when the native library is unavailable.
+
+    Indices must lie in [0, len(src)); negatives raise IndexError on both
+    paths (the native path is a raw memcpy, so the contract is enforced here
+    rather than diverging by build availability)."""
     src = np.ascontiguousarray(src)
     idx64 = np.ascontiguousarray(idx, np.int64)
+    if len(idx64) and (idx64.min() < 0 or idx64.max() >= len(src)):
+        raise IndexError(
+            f"gather_rows: index out of range [0, {len(src)}) "
+            f"(min={idx64.min()}, max={idx64.max()}); negative indices are "
+            "not supported")
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gather_rows"):
+        return src[idx64]
     out = np.empty((len(idx64),) + src.shape[1:], src.dtype)
     row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
     if n_threads is None:

@@ -212,19 +212,27 @@ def cin_layer(x0v: jax.Array, xkv: jax.Array, w: jax.Array,
 
     x0v/xkv are [N=B·D, F0]/[N, Fk] feature maps in the embedding-dim-fused
     layout of `interactions.cin_apply`; w is [F0·Fk, H], b [H].
+
+    Compute runs in float32 internally; the output is cast back to
+    x0v.dtype and gradients to their primal dtypes, so bf16 models keep
+    the same dtype behavior as the XLA path (`cin_apply_xla`).
     """
-    return _fwd_impl(x0v, xkv, w, b)
+    return _fwd_impl(x0v, xkv, w.astype(jnp.float32),
+                     b.astype(jnp.float32)).astype(x0v.dtype)
 
 
 def _cin_layer_fwd(x0v, xkv, w, b):
-    y = _fwd_impl(x0v, xkv, w, b)
-    return y, (x0v, xkv, w, y)
+    y32 = _fwd_impl(x0v, xkv, w.astype(jnp.float32), b.astype(jnp.float32))
+    return y32.astype(x0v.dtype), (x0v, xkv, w, b, y32)
 
 
 def _cin_layer_bwd(res, dy):
-    x0v, xkv, w, y = res
+    x0v, xkv, w, b, y32 = res
     # The padded forward slices y back to [N, H]; grads recompute padding.
-    return _bwd_impl(x0v, xkv, w, y, dy)
+    dx0, dxk, dw, db = _bwd_impl(
+        x0v, xkv, w.astype(jnp.float32), y32, dy)
+    return (dx0.astype(x0v.dtype), dxk.astype(xkv.dtype),
+            dw.astype(w.dtype), db.astype(b.dtype))
 
 
 cin_layer.defvjp(_cin_layer_fwd, _cin_layer_bwd)

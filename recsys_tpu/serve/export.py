@@ -70,7 +70,17 @@ def _cfg_from_dict(cls, d):
 
 
 class Servable:
-    """Loaded inference endpoint with bucketed static batch shapes."""
+    """Loaded inference endpoint with bucketed static batch shapes.
+
+    Thread-safety contract: `predict` MUST be safe to call concurrently
+    from multiple threads. The server's micro-batcher relies on this — its
+    inline fast path (serve/server.py `_MicroBatcher.predict`) runs
+    `predict` on the caller's thread while the worker thread may be
+    executing a coalesced batch at the same time. This implementation
+    satisfies the contract because predict is stateless around a jitted
+    call (jax compiled functions are thread-safe); any future stateful
+    Servable must add its own synchronization or disable the inline path.
+    """
 
     def __init__(self, export_dir: str,
                  buckets: tuple[int, ...] = DEFAULT_BUCKETS):

@@ -32,6 +32,10 @@ from recsys_tpu.serve.server import (
 
 _LEN = struct.Struct(">I")
 
+# Reject absurd frames before allocating: a single 4-byte header would
+# otherwise trigger an attempt at a ~4 GiB buffer in _recv_exact.
+MAX_FRAME_BYTES = 64 * 1024 * 1024
+
 
 def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
     buf = bytearray()
@@ -52,6 +56,12 @@ def _handle(conn: socket.socket, batcher: _MicroBatcher) -> None:
                 return
             (length,) = _LEN.unpack(head)
             if length == 0:
+                return
+            if length > MAX_FRAME_BYTES:
+                out = json.dumps({
+                    "error": f"frame length {length} exceeds max "
+                             f"{MAX_FRAME_BYTES}"}).encode()
+                conn.sendall(_LEN.pack(len(out)) + out)
                 return
             body = _recv_exact(conn, length)
             if body is None:

@@ -379,25 +379,40 @@ def main(argv: list[str] | None = None) -> dict:
     do_ctr = kv.get("ctr", "1") not in ("0", "false")
     new_ctr = ([bench_ctr(m, batch=batch, steps=steps, rows=rows_n, lr=lr)
                 for m in models] if do_ctr else [])
-    by_model = {r["model"]: r for r in old.get("ctr", [])}
+    for r in new_ctr:
+        r["commit"] = commit
+    # Rows carried over from a previous run keep their own per-row commit
+    # (stamped when they were measured) so merged tables never claim stale
+    # numbers came from HEAD.
+    old_rows = [dict(r, commit=r.get("commit", old.get("commit", "?")))
+                for r in old.get("ctr", [])]
+    by_model = {r["model"]: r for r in old_rows}
     by_model.update({r["model"]: r for r in new_ctr})
-    ctr_rows = ([by_model[m] for m in CTR_MODELS if m in by_model]
-                or new_ctr)
+    order = [m for m in CTR_MODELS if m in by_model]
+    order += [m for m in (r["model"] for r in new_ctr) if m not in order]
+    ctr_rows = [by_model[m] for m in order] or new_ctr
     result["ctr"] = ctr_rows
     ctr_rows = ctr_rows + [{"model": "(bayes ceiling)", **ceiling}]
+    def _carry(section):
+        """Old section + provenance marker: measured at its own commit."""
+        sec = old[section]
+        if isinstance(sec, dict):
+            sec = dict(sec, merged_from=old.get("commit", "?"))
+        return sec
+
     if do_din:
         result["din"] = bench_din(batch=min(batch, 1024),
                                   steps=min(steps, 300))
     elif "din" in old:
-        result["din"] = old["din"]
+        result["din"] = _carry("din")
     if do_cf:
         result["cf"] = bench_cf(workdir=workdir)
     elif "cf" in old:
-        result["cf"] = old["cf"]
+        result["cf"] = _carry("cf")
     if do_serving:
         result["serving"] = bench_serving(workdir=workdir)
     elif "serving" in old:
-        result["serving"] = old["serving"]
+        result["serving"] = _carry("serving")
     do_din, do_cf, do_serving = ("din" in result, "cf" in result,
                                  "serving" in result)
 

@@ -91,3 +91,15 @@ def test_gather_rows_parity_and_fallback():
     src = np.arange(50, dtype=np.int32).reshape(25, 2)
     idx = np.array([3, 3, 0, 24, 7])
     np.testing.assert_array_equal(native.gather_rows(src, idx), src[idx])
+
+
+def test_gather_rows_rejects_out_of_range():
+    import numpy as np
+    import pytest
+    from recsys_tpu.data import native
+
+    src = np.arange(20, dtype=np.float32).reshape(10, 2)
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.array([0, 10]))
+    with pytest.raises(IndexError):
+        native.gather_rows(src, np.array([-1, 3]))

@@ -68,3 +68,24 @@ def test_cin_fused_row_padding_exact():
     got = pallas_cin.cin_apply_fused(params, x0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cin_fused_preserves_bf16_dtype():
+    """bf16 primals keep their dtype through forward AND grad (the XLA
+    path preserves dtype; the fused path must match — ADVICE r3)."""
+    key = jax.random.key(3)
+    params = _params(key, 6, (4, 3))
+    x0 = jax.random.normal(jax.random.key(4), (8, 6, 4), jnp.bfloat16)
+    params_bf = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+
+    out = pallas_cin.cin_apply_fused(params_bf, x0)
+    assert out.dtype == jnp.bfloat16
+
+    def loss(p, x):
+        return jnp.sum(pallas_cin.cin_apply_fused(p, x).astype(jnp.float32))
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params_bf, x0)
+    assert gx.dtype == jnp.bfloat16
+    for layer in gp:
+        assert layer["w"].dtype == jnp.bfloat16
+        assert layer["b"].dtype == jnp.bfloat16

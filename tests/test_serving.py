@@ -189,3 +189,32 @@ def test_socket_round_trip(exported):
         sc.close()
     finally:
         srv.shutdown()
+
+
+def test_socket_rejects_oversized_frame(exported):
+    import socket as socket_mod
+    import struct
+
+    from recsys_tpu.serve import fastsock
+    from recsys_tpu.serve.fastsock import SocketServer
+
+    sv = Servable(exported, buckets=(8, 32))
+    srv = SocketServer(sv, port=0)
+    srv.start()
+    try:
+        conn = socket_mod.create_connection(("127.0.0.1", srv.port))
+        # a lone 4-byte header claiming a ~4 GiB body must get an error
+        # frame back (no allocation), then the server closes the connection
+        conn.sendall(struct.pack(">I", fastsock.MAX_FRAME_BYTES + 1))
+        head = conn.recv(4)
+        (length,) = struct.unpack(">I", head)
+        body = b""
+        while len(body) < length:
+            chunk = conn.recv(length - len(body))
+            if not chunk:
+                break
+            body += chunk
+        assert b"exceeds max" in body
+        conn.close()
+    finally:
+        srv.shutdown()

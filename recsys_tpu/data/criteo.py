@@ -213,9 +213,12 @@ def synthetic_criteo(
         effects = eff_rng.normal(0.0, spec.effect_scale, vocab)
         logit += effects[raw]
 
-    dense = row_rng.lognormal(0.0, 1.0, (num_rows, 13)).astype(np.float32)
+    # dense feature count follows the schema (13 for Criteo; 0 for id-only
+    # schemas like the u_id/i_id demo)
+    n_cont = len(cfg.cont_boundaries)
+    dense = row_rng.lognormal(0.0, 1.0, (num_rows, n_cont)).astype(np.float32)
     wd_rng = np.random.default_rng([spec.seed, 999])
-    w_dense = wd_rng.normal(0.0, spec.dense_scale, 13)
+    w_dense = wd_rng.normal(0.0, spec.dense_scale, n_cont)
     logit += np.log1p(dense) @ w_dense
 
     prob = 1.0 / (1.0 + np.exp(-logit))

@@ -28,12 +28,19 @@ def features_to_instances(features: dict[str, np.ndarray]) -> list[dict]:
 
 
 def prepare_body(features: dict[str, np.ndarray],
-                 binary: bool = False) -> bytes:
+                 binary: bool = False, fmt: str | None = None) -> bytes:
     """Pre-serialize a request — the reference client also builds its
     Examples before timing (grpc_client.py:41-54), so latency benchmarks
-    should time only the round trip. ``binary=True`` uses the NPZ1 columnar
-    format (server.BINARY_MAGIC), the cheap-parse analog of protobuf."""
-    if binary:
+    should time only the round trip. ``binary=True`` (or fmt='npz') uses the
+    NPZ1 columnar format (server.BINARY_MAGIC), the cheap-parse analog of
+    protobuf; fmt='raw' uses the zero-copy RAW1 layout (server.RAW_MAGIC),
+    the latency-path format."""
+    if fmt is None:
+        fmt = "npz" if binary else "json"
+    if fmt == "raw":
+        from recsys_tpu.serve.server import encode_raw
+        return encode_raw(features)
+    if fmt == "npz":
         import io
         from recsys_tpu.serve.server import BINARY_MAGIC
         buf = io.BytesIO()
@@ -43,7 +50,9 @@ def prepare_body(features: dict[str, np.ndarray],
 
 
 def _parse_response(raw: bytes) -> np.ndarray:
-    from recsys_tpu.serve.server import BINARY_MAGIC
+    from recsys_tpu.serve.server import BINARY_MAGIC, RAW_MAGIC, parse_raw
+    if raw[:4] == RAW_MAGIC:
+        return parse_raw(raw)["predictions"]
     if raw[:4] == BINARY_MAGIC:
         import io
         with np.load(io.BytesIO(raw[4:])) as z:

@@ -106,12 +106,23 @@ class Servable:
         self.model_state = jax.tree.map(jax.numpy.asarray, self.model_state)
         self.buckets = buckets
         self._predict = make_predict_step(self.model)
+        # input-signature → AOT-compiled executable
+        # (jax.jit(...).lower().compile() skips the python jit-dispatch
+        # machinery, ~0.1 ms per call on CPU). Keyed on the full padded
+        # aval signature, not just the bucket size, so requests with a
+        # different feature layout never hit a mismatched executable.
+        self._compiled: dict[tuple, object] = {}
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
                 return b
         return ((n + self.buckets[-1] - 1) // self.buckets[-1]) * self.buckets[-1]
+
+    @staticmethod
+    def _sig(padded: dict) -> tuple:
+        return tuple(sorted(
+            (k, v.shape, v.dtype.str) for k, v in padded.items()))
 
     def predict(self, features: dict[str, np.ndarray]) -> np.ndarray:
         """features → probs [B] (the "prob" serving output)."""
@@ -120,11 +131,21 @@ class Servable:
         padded = {}
         for k, v in features.items():
             v = np.asarray(v)
+            if v.dtype.kind in "iu":
+                v = v.astype(np.int32, copy=False)
+            elif v.dtype != np.float32:
+                v = v.astype(np.float32)
             if b > n:
                 pad = np.repeat(v[-1:], b - n, axis=0)
                 v = np.concatenate([v, pad], axis=0)
             padded[k] = v
-        probs = self._predict(self.params, self.model_state, padded)
+        sig = self._sig(padded)
+        fn = self._compiled.get(sig)
+        if fn is None:
+            fn = self._predict.lower(
+                self.params, self.model_state, padded).compile()
+            self._compiled[sig] = fn
+        probs = fn(self.params, self.model_state, padded)
         return np.asarray(probs)[:n]
 
     def warmup(self) -> None:

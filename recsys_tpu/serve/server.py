@@ -116,18 +116,75 @@ class _MicroBatcher:
 #: JSON instance lists remain the default wire format.
 BINARY_MAGIC = b"NPZ1"
 
+#: zero-copy columnar payload: fixed little-endian header + raw array bytes.
+#: np.savez builds a zipfile per request (~0.2 ms parse at batch 200); RAW1
+#: parses with np.frombuffer views in ~10 µs — the latency-path format.
+#: Layout: b"RAW1" | u8 n_arrays | per array: [u8 name_len | name utf-8 |
+#: u8 dtype_char ('i'=int32,'f'=float32) | u8 ndim | u32×ndim dims] |
+#: concatenated C-order array buffers.
+RAW_MAGIC = b"RAW1"
 
-def parse_request(body: bytes) -> tuple[dict[str, np.ndarray], bool]:
-    """bytes → (features, was_binary). Binary = NPZ1 + np.savez archive."""
+_RAW_DTYPES = {"i": np.dtype("<i4"), "f": np.dtype("<f4")}
+
+
+def encode_raw(arrays: dict[str, np.ndarray]) -> bytes:
+    import struct
+    head = [RAW_MAGIC, bytes([len(arrays)])]
+    bufs = []
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype.kind in "iu":
+            arr, ch = arr.astype("<i4", copy=False), b"i"
+        else:
+            arr, ch = arr.astype("<f4", copy=False), b"f"
+        nb = name.encode()
+        head.append(bytes([len(nb)]) + nb + ch + bytes([arr.ndim])
+                    + struct.pack(f"<{arr.ndim}I", *arr.shape))
+        bufs.append(arr.tobytes())
+    return b"".join(head) + b"".join(bufs)
+
+
+def parse_raw(body: bytes) -> dict[str, np.ndarray]:
+    import struct
+    n_arrays = body[4]
+    pos = 5
+    metas = []
+    for _ in range(n_arrays):
+        nlen = body[pos]; pos += 1
+        name = body[pos:pos + nlen].decode(); pos += nlen
+        ch = chr(body[pos]); pos += 1
+        ndim = body[pos]; pos += 1
+        shape = struct.unpack_from(f"<{ndim}I", body, pos); pos += 4 * ndim
+        metas.append((name, _RAW_DTYPES[ch], shape))
+    out = {}
+    for name, dt, shape in metas:
+        count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        out[name] = np.frombuffer(body, dt, count, pos).reshape(shape)
+        pos += count * dt.itemsize
+    return out
+
+
+def parse_request(body: bytes) -> tuple[dict[str, np.ndarray], str]:
+    """bytes → (features, fmt) with fmt in {'json','npz','raw'}."""
+    if body[:4] == RAW_MAGIC:
+        return parse_raw(body), "raw"
     if body[:4] == BINARY_MAGIC:
         import io
         with np.load(io.BytesIO(body[4:])) as z:
-            return {k: z[k] for k in z.files}, True
-    return _instances_to_features(json.loads(body)["instances"]), False
+            return {k: z[k] for k in z.files}, "npz"
+    return _instances_to_features(json.loads(body)["instances"]), "json"
 
 
-def encode_response(probs: np.ndarray, binary: bool) -> bytes:
-    if binary:
+def encode_response(probs: np.ndarray, fmt) -> bytes:
+    """``fmt``: 'json' | 'npz' | 'raw' (bools accepted for backward compat:
+    True='npz', False='json')."""
+    if fmt is True:
+        fmt = "npz"
+    elif fmt is False:
+        fmt = "json"
+    if fmt == "raw":
+        return encode_raw({"predictions": np.asarray(probs, np.float32)})
+    if fmt == "npz":
         import io
         buf = io.BytesIO()
         np.savez(buf, predictions=np.asarray(probs, np.float32))

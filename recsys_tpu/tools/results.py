@@ -217,19 +217,22 @@ def bench_cf(seed: int = 0, workdir: str | None = None) -> list[dict]:
     return rows
 
 
-def _bench_cpu_serving(export_dir: str) -> list[dict]:
+def _bench_cpu_serving(export_dir: str, model_tag: str,
+                       sample_fn, auc_rows: int = 0) -> list[dict]:
     """Latency-mode serving: spawn `train_ctr serve --device=cpu` (its own
-    process so this process's TPU backend is untouched) and measure REST
-    p50/p99 — the apples-to-apples row against the reference's CPU
-    TF-Serving numbers (deepfm/readme.md:64-73)."""
-    from recsys_tpu.core.config import CriteoConfig
-    from recsys_tpu.data import criteo
+    process so this process's TPU backend is untouched) and measure
+    p50/p99 — the apples-to-apples rows against the reference's CPU
+    TF-Serving numbers (deepfm/readme.md:64-73). ``sample_fn(n)`` yields a
+    feature batch + labels; ``auc_rows>0`` adds a served-AUC check over
+    that many rows (batched at 512 — large enough that the AUC is not
+    small-sample noise)."""
     from recsys_tpu.serve import client as C
+    from recsys_tpu.serve.fastsock import SocketClient
 
     proc = subprocess.Popen(
         [sys.executable, "-m", "recsys_tpu.tools.train_ctr", "serve",
          f"--export_dir={export_dir}", "--port=0", "--device=cpu",
-         "--buckets=256,512"],
+         "--buckets=200,256,500,512"],
         stderr=subprocess.PIPE, text=True)
     port = None
     try:
@@ -240,34 +243,54 @@ def _bench_cpu_serving(export_dir: str) -> list[dict]:
         if port is None:
             raise RuntimeError("cpu serve process died before binding")
         rows = []
-        cfg = CriteoConfig()
         stub = C.make_grpc_stub(port + 1)
         for n in (200, 500):
-            data = criteo.synthetic_criteo(n, cfg)
-            labels = data.pop("label")
+            data, labels = sample_fn(n)
             # end-to-end REST: client encode + HTTP + parse every call
             stats = C.benchmark_serving(
-                lambda f: C.rest_predict(port, f), data, labels,
+                lambda f: C.rest_predict(port, f), data, None,
                 warmup=3, iters=50)
             rows.append({**stats, "batch": n, "device": "cpu",
-                         "protocol": "rest+encode"})
+                         "model": model_tag, "protocol": "rest+encode"})
             # reference-parity gRPC: request pre-built before timing
             # (grpc_client.py:41-54 builds Examples outside the clock)
             body = C.prepare_body(data, binary=True)
             stats = C.benchmark_serving(
-                lambda _: C.grpc_send(stub, body), data, labels,
+                lambda _: C.grpc_send(stub, body), data, None,
                 warmup=3, iters=50)
             rows.append({**stats, "batch": n, "device": "cpu",
-                         "protocol": "grpc prepared"})
-            # framework fast path: persistent socket, length-prefixed NPZ1
-            from recsys_tpu.serve.fastsock import SocketClient
+                         "model": model_tag, "protocol": "grpc prepared"})
+            # framework fast paths: persistent socket, NPZ1 and RAW1 bodies
             sc = SocketClient(port + 2)
             stats = C.benchmark_serving(
-                lambda _: sc.send(body), data, labels, warmup=3, iters=50)
+                lambda _: sc.send(body), data, None, warmup=3, iters=50)
+            rows.append({**stats, "batch": n, "device": "cpu",
+                         "model": model_tag, "protocol": "socket npz"})
+            raw_body = C.prepare_body(data, fmt="raw")
+            stats = C.benchmark_serving(
+                lambda _: sc.send(raw_body), data, None, warmup=5, iters=100)
             sc.close()
             rows.append({**stats, "batch": n, "device": "cpu",
-                         "protocol": "socket prepared"})
-            log.info("cpu serving batch %d: %s", n, rows[-3:])
+                         "model": model_tag, "protocol": "socket raw"})
+            log.info("cpu serving %s batch %d: %s", model_tag, n, rows[-4:])
+        if auc_rows:
+            # served-AUC sanity over a slice big enough to be meaningful
+            # (the reference client's check, grpc_client.py:85)
+            sc = SocketClient(port + 2)
+            probs, ys = [], []
+            for _ in range(auc_rows // 512):
+                data, labels = sample_fn(512)
+                probs.append(sc.send(C.prepare_body(data, fmt="raw")))
+                ys.append(labels)
+            sc.close()
+            from sklearn.metrics import roc_auc_score
+            auc = float(roc_auc_score(np.concatenate(ys),
+                                      np.concatenate(probs)))
+            rows.append({"batch": 512, "device": "cpu", "model": model_tag,
+                         "protocol": f"served-AUC ({auc_rows} rows)",
+                         "auc": auc})
+            log.info("served AUC (%s, %d rows): %.4f", model_tag,
+                     auc_rows, auc)
         return rows
     finally:
         proc.terminate()
@@ -275,25 +298,45 @@ def _bench_cpu_serving(export_dir: str) -> list[dict]:
 
 
 def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
-    """Export a DeepFM and measure REST p50/p99 at the reference's batch
-    sizes (deepfm/readme.md:64-73: 0.29 ms @ 200, 0.36 ms @ 500), on the
-    current device (throughput mode) and on CPU (latency mode)."""
+    """Serving latency at the reference's batch sizes
+    (deepfm/readme.md:64-73: 0.29 ms @ 200, 0.36 ms @ 500 on CPU
+    TF-Serving), plus a served-AUC check.
+
+    Two servables are measured:
+    - the Criteo-39-field DeepFM (briefly TRAINED first so the served-AUC
+      column is meaningful), and
+    - the u_id/i_id demo-schema DeepFM — the model the reference's own
+      latency test served (its TF-Serving numbers come from the 2-feature
+      demo export, deepfm/deepfm.py:37-51 + readme.md:64-73), so this is
+      the apples-to-apples workload row.
+    """
     import threading
 
     import jax
 
     from recsys_tpu.core.config import CriteoConfig, ModelConfig
-    from recsys_tpu.data import criteo
+    from recsys_tpu.data import criteo, demo
     from recsys_tpu.models.api import make_model
     from recsys_tpu.serve import client as C
     from recsys_tpu.serve.export import Servable, export_servable
     from recsys_tpu.serve.server import make_rest_server
+    from recsys_tpu.train import fast, train_state as TS
 
     cfg = CriteoConfig()
     mcfg = ModelConfig(name="deepfm")
     model = make_model("deepfm", cfg, mcfg)
-    params, state = model.init(jax.random.key(seed))
     workdir = workdir or tempfile.mkdtemp(prefix="recsys_results_")
+
+    # quick training pass so served predictions rank properly (AUC ~0.78+
+    # on the planted task instead of random-init noise)
+    ts, tx = TS.create_train_state(model, seed=seed, learning_rate=2e-3)
+    train_rows = 1 << 20
+    ts, _ = fast.train_on_device(
+        model, tx, ts, _synthetic_cached(train_rows, cfg),
+        batch_size=8192, num_steps=400, steps_per_call=100)
+    params = jax.tree.map(np.asarray, ts.params)
+    state = jax.tree.map(np.asarray, ts.model_state)
+
     d = os.path.join(workdir, "export_deepfm")
     export_servable(d, "deepfm", params, state, mcfg, cfg)
     sv = Servable(d, buckets=(256, 512))
@@ -308,15 +351,44 @@ def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
             data = criteo.synthetic_criteo(n, cfg)
             labels = data.pop("label")
             stats = C.benchmark_serving(
-                lambda f: C.rest_predict(port, f), data, labels,
+                lambda f: C.rest_predict(port, f), data, None,
                 warmup=3, iters=20)
-            rows.append({**stats, "batch": n,
+            rows.append({**stats, "batch": n, "model": "deepfm-criteo",
                          "device": jax.default_backend(),
                          "protocol": "rest+encode"})
             log.info("serving batch %d: %s", n, stats)
     finally:
         server.shutdown()
-    rows += _bench_cpu_serving(d)
+
+    _eval_row = [20_000_000]
+
+    def criteo_sample(n):
+        start = _eval_row[0]
+        _eval_row[0] += n
+        data = criteo.synthetic_criteo(n, cfg, start_row=start)
+        labels = data.pop("label")
+        return data, labels
+
+    rows += _bench_cpu_serving(d, "deepfm-criteo", criteo_sample,
+                               auc_rows=25600)
+
+    # demo-schema servable (the reference's serving workload)
+    schema = demo.demo_schema()
+    demo_model = make_model("deepfm", schema, mcfg)
+    dparams, dstate = demo_model.init(jax.random.key(seed))
+    dd = os.path.join(workdir, "export_deepfm_demo")
+    export_servable(dd, "deepfm", jax.tree.map(np.asarray, dparams),
+                    jax.tree.map(np.asarray, dstate), mcfg, schema)
+
+    _demo_seed = [seed]
+
+    def demo_sample(n):
+        _demo_seed[0] += 1
+        data = demo.synthetic_demo(n, seed=_demo_seed[0], schema=schema)
+        labels = data.pop("label")
+        return data, labels
+
+    rows += _bench_cpu_serving(dd, "deepfm-demo", demo_sample)
     return rows
 
 
@@ -469,9 +541,13 @@ def main(argv: list[str] | None = None) -> dict:
                    ("train s", "train_seconds", ".1f"),
                ])]
     if do_serving:
-        md += ["", "## Serving (DeepFM REST, in-process server; reference: "
-               "0.29 ms @ 200 / 0.36 ms @ 500 on TF-Serving CPU)", "",
+        md += ["", "## Serving (reference: 0.29 ms @ 200 / 0.36 ms @ 500 on "
+               "TF-Serving CPU, serving the 2-feature u_id/i_id demo "
+               "DeepFM — the `deepfm-demo` rows are that workload; "
+               "`deepfm-criteo` serves the full 39-field model and its "
+               "served-AUC row is checked over 25,600 rows)", "",
                _md_table(result["serving"], [
+                   ("model", "model", ""),
                    ("device", "device", ""),
                    ("protocol", "protocol", ""),
                    ("batch", "batch", "d"),

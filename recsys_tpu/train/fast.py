@@ -44,8 +44,8 @@ def epoch_index_matrix(n_rows: int, batch_size: int, steps: int, rng) -> np.ndar
     return rng.integers(0, n_rows, size=(steps, batch_size)).astype(np.int32)
 
 
-def _make_step_body(model: Model, tx):
-    """Shared scan body: one optimizer step on a device-side gathered batch."""
+def _make_batch_step(model: Model, tx):
+    """One optimizer step on an in-hand batch: ``step(ts, batch) -> (ts, loss)``."""
 
     def loss_fn(params, model_state, batch, rng):
         logits, new_state = model.apply(
@@ -53,8 +53,7 @@ def _make_step_body(model: Model, tx):
         )
         return sigmoid_ce(logits, batch["label"]), new_state
 
-    def body(ts: TrainState, data, idx):
-        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+    def step(ts: TrainState, batch):
         rng = jax.random.fold_in(ts.rng, ts.step)
         (loss, new_ms), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -64,6 +63,17 @@ def _make_step_body(model: Model, tx):
             TrainState(new_params, new_ms, new_opt, ts.step + 1, ts.rng),
             loss,
         )
+
+    return step
+
+
+def _make_step_body(model: Model, tx):
+    """Shared scan body: one optimizer step on a device-side gathered batch."""
+    step = _make_batch_step(model, tx)
+
+    def body(ts: TrainState, data, idx):
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        return step(ts, batch)
 
     return body
 
@@ -108,6 +118,34 @@ def make_scanned_train_step_devgen(
             idx = jax.random.randint(ikey, (batch_size,), 0, n_rows,
                                      dtype=jnp.int32)
             return body(ts, data, idx)
+
+        ts, losses = jax.lax.scan(scan_body, ts, None, length=k,
+                                  unroll=unroll)
+        return ts, jnp.mean(losses)
+
+    return steps
+
+
+def make_scanned_train_step_sampler(
+    model: Model, tx, sample_fn, batch_size: int, unroll: int = 1
+):
+    """jitted ``steps(ts, tables, k) -> (ts, mean_loss)`` where every scan
+    iteration draws a FRESH batch from ``sample_fn(key, tables, batch_size)``
+    on device (data/synthetic_device.make_device_sampler) — true one-pass
+    online SGD on the population distribution. No dataset in HBM, no
+    host→device traffic; generation fuses into the same XLA program as the
+    step, so XLA pipelines sampling of step k+1 against the backward of k."""
+    step = _make_batch_step(model, tx)
+
+    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def steps(ts: TrainState, tables, k: int):
+        def scan_body(ts, _):
+            # dedicated sample-stream tag, disjoint from the model/dropout
+            # key fold_in(rng, step) and the index stream (0x1D8)
+            skey = jax.random.fold_in(
+                jax.random.fold_in(ts.rng, 0x5A17), ts.step)
+            batch = sample_fn(skey, tables, batch_size)
+            return step(ts, batch)
 
         ts, losses = jax.lax.scan(scan_body, ts, None, length=k,
                                   unroll=unroll)

@@ -47,8 +47,11 @@ class AdamState(NamedTuple):
     nu: Any
 
 
-def adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
-         eps: float = 1e-8) -> Optimizer:
+def adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+         eps: float = 1e-8, weight_decay: float = 0.0) -> Optimizer:
+    """``learning_rate`` may be a float or a callable ``lr(t)`` of the
+    1-based float step (schedules — see `cosine_decay`). ``weight_decay``
+    adds decoupled (AdamW-style) decay scaled by the scheduled lr."""
     def init(params) -> AdamState:
         zeros = lambda p: jnp.zeros_like(p)
         return AdamState(
@@ -60,17 +63,45 @@ def adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
     def update(grads, state: AdamState, params):
         count = state.count + 1
         t = count.astype(jnp.float32)
-        lr_t = learning_rate * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        lr = learning_rate(t) if callable(learning_rate) else learning_rate
+        lr_t = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
                           state.nu, grads)
-        new_params = jax.tree.map(
-            lambda p, m, v: p - lr_t * m / (jnp.sqrt(v) + eps),
-            params, mu, nu,
-        )
+        if weight_decay:
+            new_params = jax.tree.map(
+                lambda p, m, v: p - lr_t * m / (jnp.sqrt(v) + eps)
+                - lr * weight_decay * p,
+                params, mu, nu,
+            )
+        else:
+            new_params = jax.tree.map(
+                lambda p, m, v: p - lr_t * m / (jnp.sqrt(v) + eps),
+                params, mu, nu,
+            )
         return new_params, AdamState(count, mu, nu)
 
     return Optimizer(init, update)
+
+
+def cosine_decay(peak_lr: float, total_steps: int, warmup_steps: int = 0,
+                 floor: float = 0.0):
+    """lr(t): linear warmup to ``peak_lr`` then cosine decay to
+    ``floor·peak_lr`` at ``total_steps``. Online one-pass SGD is
+    noise-limited near convergence (the Adam noise ball scales with lr), so
+    decaying to ~0 at the example budget is what closes the last few
+    millipoints of AUC to the planted ceiling (tools/converge.py)."""
+    peak = jnp.float32(peak_lr)
+    total = max(total_steps, 1)
+
+    def lr(t):
+        warm = peak * t / jnp.maximum(warmup_steps, 1)
+        frac = jnp.clip((t - warmup_steps) / max(total - warmup_steps, 1),
+                        0.0, 1.0)
+        cos = floor + (1.0 - floor) * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        return jnp.where(t < warmup_steps, warm, peak * cos)
+
+    return lr
 
 
 class FtrlState(NamedTuple):

@@ -218,3 +218,37 @@ def test_socket_rejects_oversized_frame(exported):
         conn.close()
     finally:
         srv.shutdown()
+
+
+def test_raw_wire_format_round_trip():
+    from recsys_tpu.serve.server import encode_raw, parse_raw, parse_request
+
+    feats = {
+        "ids": np.arange(78, dtype=np.int32).reshape(2, 39),
+        "dense": np.linspace(0, 1, 26, dtype=np.float32).reshape(2, 13),
+    }
+    body = encode_raw(feats)
+    out = parse_raw(body)
+    assert set(out) == {"ids", "dense"}
+    np.testing.assert_array_equal(out["ids"], feats["ids"])
+    np.testing.assert_array_equal(out["dense"], feats["dense"])
+    parsed, fmt = parse_request(body)
+    assert fmt == "raw"
+    np.testing.assert_array_equal(parsed["ids"], feats["ids"])
+
+
+def test_socket_raw_round_trip(exported):
+    from recsys_tpu.serve.fastsock import SocketClient, SocketServer
+
+    sv = Servable(exported, buckets=(8, 32))
+    srv = SocketServer(sv, port=0)
+    srv.start()
+    try:
+        feats, _ = _features(12)
+        sc = SocketClient(srv.port)
+        probs_raw = sc.send(C.prepare_body(feats, fmt="raw"))
+        np.testing.assert_allclose(probs_raw, sv.predict(feats),
+                                   rtol=1e-6, atol=1e-7)
+        sc.close()
+    finally:
+        srv.shutdown()

@@ -136,6 +136,17 @@ class MeshConfig:
     data_axis: int = -1  # -1: all available devices
     model_axis: int = 1
     axis_names: tuple[str, str] = ("data", "model")
+    #: size the sharded-embedding all-to-all for the worst case (lossless,
+    #: larger collectives) instead of ``a2a_cap_factor``
+    a2a_exact: bool = False
+    #: per-owner id capacity factor of the non-exact a2a exchange
+    #: (parallel/sharded_embedding.a2a_capacity)
+    a2a_cap_factor: float = 2.0
+    #: what the SPMD driver does when its startup check finds the observed
+    #: id distribution would overflow ``a2a_cap_factor`` (silently dropping
+    #: rows): 'check' = fail loudly with guidance, 'auto' = upgrade this
+    #: run to exact capacity, 'off' = skip the check (trust the factor)
+    a2a_policy: str = "check"
 
 
 @dataclass(frozen=True)

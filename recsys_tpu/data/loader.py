@@ -109,21 +109,25 @@ def device_prefetch(
     host_iter: Iterator[dict[str, np.ndarray]],
     env: MeshEnv,
     depth: int = 2,
+    axes_fn=None,
 ) -> Iterator[dict[str, jax.Array]]:
     """Stage host batches onto device asynchronously with the data sharding.
 
-    Each array goes up with leading-dim 'data' sharding; transfers for batch
-    k+1 overlap the computation of batch k.
+    Each array goes up with leading-dim 'data' sharding (override per-array
+    with ``axes_fn(value) -> axes list``, e.g. ``[None, 'data']`` for
+    [K, B]-stacked scan inputs); transfers for batch k+1 overlap the
+    computation of batch k.
     """
     shardings: dict[str, jax.sharding.NamedSharding] = {}
+    if axes_fn is None:
+        axes_fn = lambda v: ["data"] + [None] * (v.ndim - 1)
 
     def put(batch: dict[str, np.ndarray]) -> dict[str, jax.Array]:
         out = {}
         for k, v in batch.items():
             sh = shardings.get(k)
             if sh is None:
-                axes = ["data"] + [None] * (v.ndim - 1)
-                sh = env.spec(*axes)
+                sh = env.spec(*axes_fn(v))
                 shardings[k] = sh
             out[k] = jax.device_put(v, sh)
         return out

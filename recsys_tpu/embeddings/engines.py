@@ -90,15 +90,29 @@ class FusedGatherEngine:
         return rows[:, :, :-1], rows[:, :, -1]
 
     def lookup_sharded(self, params, ids, axis_name: str = "model",
-                       exact: bool = False):
+                       exact: bool = False, cap_factor: float = 2.0):
         """Inside shard_map: params['table_flat'] is this member's row shard;
         lookup via dedup + all-to-all (recsys_tpu.parallel.sharded_embedding)."""
         from recsys_tpu.parallel import sharded_embedding as SE
 
         local = params["table_flat"].reshape(-1, self.width)
         gids = emb_table.to_global_ids(ids, self.offsets)
-        rows = SE.a2a_embedding_lookup(local, gids, axis_name, exact=exact)
+        rows = SE.a2a_embedding_lookup(local, gids, axis_name, exact=exact,
+                                       cap_factor=cap_factor)
         return rows[:, :, :-1], rows[:, :, -1]
+
+    def a2a_overflow(self, ids, num_data: int, num_model: int,
+                     cap_factor: float = 2.0) -> int:
+        """Host-side lossless-capacity check for a batch: unique ids that
+        would exceed the per-owner a2a capacity at ``cap_factor`` (0 ==
+        lossless). Mirrors lookup_sharded's id routing, per data shard."""
+        from recsys_tpu.parallel import sharded_embedding as SE
+
+        gids = np.asarray(ids) + np.asarray(self.offsets)[None, :]
+        shard_rows = self.v_pad // num_model
+        per_shard = np.array_split(gids, num_data, axis=0)
+        return max(SE.a2a_overflow(s, num_model, shard_rows, cap_factor)
+                   for s in per_shard)
 
 
 @dataclass(frozen=True)
@@ -162,7 +176,7 @@ class SplitEngine:
         return rows[:, :, :-1], rows[:, :, -1]
 
     def lookup_sharded(self, params, ids, axis_name: str = "model",
-                       exact: bool = False):
+                       exact: bool = False, cap_factor: float = 2.0):
         """Inside shard_map: 'small' is replicated (every member runs the
         same tiny matmul), 'big_flat' is this member's row shard, fetched
         via dedup + all-to-all."""
@@ -180,11 +194,30 @@ class SplitEngine:
                 jnp.asarray(offsets)[None, :]
             local = params["big_flat"].reshape(-1, w)
             outs.append(SE.a2a_embedding_lookup(local, gids, axis_name,
-                                                exact=exact))
+                                                exact=exact,
+                                                cap_factor=cap_factor))
         rows = jnp.concatenate(outs, axis=1)
         inv = np.argsort(np.asarray(small + big))
         rows = jnp.take(rows, jnp.asarray(inv), axis=1)
         return rows[:, :, :-1], rows[:, :, -1]
+
+    def a2a_overflow(self, ids, num_data: int, num_model: int,
+                     cap_factor: float = 2.0) -> int:
+        """Host-side lossless-capacity check (see FusedGatherEngine): only
+        the big fields travel over the all-to-all in this engine."""
+        from recsys_tpu.parallel import sharded_embedding as SE
+
+        small, big = self._partition()
+        if not big:
+            return 0
+        b_sizes = self._sizes(big)
+        offsets = emb_table.field_offsets(b_sizes)
+        gids = (np.asarray(ids)[:, np.asarray(big, np.int64)]
+                + np.asarray(offsets)[None, :])
+        shard_rows = emb_table.pad_rows(sum(b_sizes)) // num_model
+        per_shard = np.array_split(gids, num_data, axis=0)
+        return max(SE.a2a_overflow(s, num_model, shard_rows, cap_factor)
+                   for s in per_shard)
 
     def _small_rows_gather(self, table, ids, small_fields):
         """[B, Fs, D+1] via plain row gather — the inference path."""

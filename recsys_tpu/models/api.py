@@ -39,13 +39,17 @@ class EmbOps:
     over the 'model' mesh axis (recsys_tpu.parallel.sharded_embedding); the
     ``embed``/``linear`` callables serve models that own raw tables (DIN,
     wide). ``a2a_exact`` sizes the all-to-all capacity for the worst case
-    (lossless; used by equivalence tests).
+    (lossless; used by equivalence tests); ``a2a_cap_factor`` sizes the
+    non-exact capacity (ids beyond it would silently drop — the SPMD
+    driver's startup check guarantees the configured factor is lossless
+    for the observed id distribution, train/spmd_loop.py).
     """
 
     embed: Callable[[dict, jax.Array], jax.Array]
     linear: Callable[[dict, jax.Array], jax.Array]
     sharded: bool = False
     a2a_exact: bool = False
+    a2a_cap_factor: float = 2.0
 
 
 LOCAL_EMB_OPS = EmbOps(

@@ -51,7 +51,10 @@ class _CriteoBase:
 
     @property
     def meta(self) -> dict:
-        return {"emb_width": self.cfg.embedding_dim + 1}
+        # 'engine' lets drivers run host-side capacity checks
+        # (engine.a2a_overflow) before entering the sharded path
+        return {"emb_width": self.cfg.embedding_dim + 1,
+                "engine": self.engine}
 
     def gids(self, batch) -> jax.Array:
         return emb_table.to_global_ids(batch["ids"], self.offsets)
@@ -71,7 +74,8 @@ class _CriteoBase:
         avoid when there's no backward)."""
         if emb_ops.sharded:
             return self.engine.lookup_sharded(
-                params["tables"], batch["ids"], exact=emb_ops.a2a_exact)
+                params["tables"], batch["ids"], exact=emb_ops.a2a_exact,
+                cap_factor=emb_ops.a2a_cap_factor)
         return self.engine.lookup(params["tables"], batch["ids"], train=train)
 
 

@@ -31,7 +31,8 @@ from recsys_tpu.models.api import EmbOps, Model
 from recsys_tpu.parallel import sharded_embedding as SE
 from recsys_tpu.train import optim
 
-def make_sharded_emb_ops(exact: bool = False) -> EmbOps:
+def make_sharded_emb_ops(exact: bool = False,
+                         cap_factor: float = 2.0) -> EmbOps:
     """EmbOps used *inside* shard_map: params leaves arrive pre-sharded.
     Engine-backed models route through ``engine.lookup_sharded`` (dedup +
     all-to-all); raw-table models (DIN, wide) use the psum fallbacks."""
@@ -40,6 +41,7 @@ def make_sharded_emb_ops(exact: bool = False) -> EmbOps:
         linear=lambda p, gids: SE.sharded_linear_sum(p["w"], p["b"], gids),
         sharded=True,
         a2a_exact=exact,
+        a2a_cap_factor=cap_factor,
     )
 
 
@@ -146,6 +148,7 @@ def create_spmd_state(
 def make_spmd_train_step(
     model: Model, opt: optim.Optimizer, env: MeshEnv,
     global_batch_size: int, example_batch, a2a_exact: bool = False,
+    a2a_cap_factor: float = 2.0,
 ):
     """jitted ``step(SpmdState, batch) -> (SpmdState, loss)`` over the mesh.
 
@@ -159,7 +162,7 @@ def make_spmd_train_step(
     ospecs = opt_specs(pspecs, jax.eval_shape(opt.init, params_tmpl))
     msspecs = jax.tree.map(lambda _: P(), mstate_tmpl)
     bspecs = batch_specs(example_batch)
-    emb_ops = make_sharded_emb_ops(exact=a2a_exact)
+    emb_ops = make_sharded_emb_ops(exact=a2a_exact, cap_factor=a2a_cap_factor)
 
     def shard_fn(params, mstate, opt_state, step, rng, batch):
         # decorrelate dropout across data shards
@@ -210,6 +213,7 @@ def make_spmd_train_step(
 def make_spmd_train_step_scanned(
     model: Model, opt: optim.Optimizer, env: MeshEnv,
     example_stack, a2a_exact: bool = False, unroll: int = 1,
+    a2a_cap_factor: float = 2.0,
 ):
     """Scan-fused SPMD step: ``steps(SpmdState, stack[K, B, ...]) ->
     (SpmdState, mean_loss)`` — K optimizer steps per dispatch over the mesh
@@ -224,7 +228,7 @@ def make_spmd_train_step_scanned(
         lambda v: P(None, DATA_AXIS, *([None] * (v.ndim - 2))), example_stack
     )
     global_batch = jax.tree.leaves(example_stack)[0].shape[1]
-    emb_ops = make_sharded_emb_ops(exact=a2a_exact)
+    emb_ops = make_sharded_emb_ops(exact=a2a_exact, cap_factor=a2a_cap_factor)
 
     def shard_fn(params, mstate, opt_state, step0, rng, stack):
         def body(carry, batch):
@@ -278,7 +282,8 @@ def make_spmd_train_step_scanned(
 
 
 def make_spmd_eval_logits(model: Model, env: MeshEnv, example_batch,
-                          a2a_exact: bool = False):
+                          a2a_exact: bool = False,
+                          a2a_cap_factor: float = 2.0):
     """jitted eval forward over the mesh → global logits [B]."""
     params_tmpl, mstate_tmpl = jax.eval_shape(
         lambda k: model.init(k), jax.random.key(0)
@@ -286,7 +291,7 @@ def make_spmd_eval_logits(model: Model, env: MeshEnv, example_batch,
     pspecs = param_specs(params_tmpl)
     msspecs = jax.tree.map(lambda _: P(), mstate_tmpl)
     bspecs = batch_specs(example_batch)
-    emb_ops = make_sharded_emb_ops(exact=a2a_exact)
+    emb_ops = make_sharded_emb_ops(exact=a2a_exact, cap_factor=a2a_cap_factor)
 
     def shard_fn(params, mstate, batch):
         logits, _ = model.apply(

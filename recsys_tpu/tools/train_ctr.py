@@ -116,14 +116,18 @@ def main(argv: list[str] | None = None) -> dict:
         mesh_devices = (cfg.mesh.data_axis if cfg.mesh.data_axis > 0
                         else n_devices // max(1, cfg.mesh.model_axis)
                         ) * max(1, cfg.mesh.model_axis)
-        # Mesh path: more than one device in the mesh → SPMD driver
-        # (batch over 'data', tables over 'model'; the reference's
-        # MirroredStrategy train_and_evaluate equivalent).
+        # Mesh path: more than one device in the mesh → streaming SPMD
+        # driver (batch over 'data', tables over 'model'; ShardSource epochs
+        # + device_prefetch — no whole-dataset host residency; the
+        # reference's MirroredStrategy train_and_evaluate equivalent).
         if mesh_devices > 1:
             from recsys_tpu.train import spmd_loop
-            metrics = spmd_loop.train_and_evaluate_spmd(
-                model, load_all(train_paths), load_all(eval_paths),
-                cfg.train, cfg.mesh, num_steps=num_steps,
+            src = loader.ShardSource(
+                train_paths, cfg.train.batch_size, seed=cfg.train.seed,
+                num_epochs=-1)
+            metrics = spmd_loop.train_and_evaluate_spmd_stream(
+                model, iter(src), eval_batches, cfg.train, cfg.mesh,
+                num_steps=num_steps,
             )
             print(metrics)
             return metrics

@@ -53,16 +53,20 @@ def build_examples(
     max_hist: int = 128,
     seed: int = 0,
     buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+    hard_neg: float = 0.0,
+    neg_pools: list | None = None,
 ) -> DinDataset:
     """Per-user (item, cate) event lists → pos/neg next-item examples.
 
     For every user with ≥2 events: history = events[:-1], positive target =
     events[-1], negative target = uniform random item (the reference's
-    global negative sampling, README.md:106).
+    global negative sampling, README.md:106). With ``hard_neg > 0`` a
+    fraction of negatives draw from ``neg_pools[u]`` (the user's favored
+    item pool) instead — see `synthetic_din`.
     """
     rng = np.random.default_rng(seed)
     tgt_i, tgt_c, labels, hists = [], [], [], []
-    for events in user_histories:
+    for u, events in enumerate(user_histories):
         if len(events) < 2:
             continue
         hist = events[:-1][-max_hist:]
@@ -71,7 +75,11 @@ def build_examples(
         tgt_c.append(pos_c)
         labels.append(1.0)
         hists.append(hist)
-        neg_i = int(rng.integers(1, item_vocab))
+        pool = neg_pools[u] if neg_pools is not None else None
+        if pool is not None and len(pool) and rng.random() < hard_neg:
+            neg_i = int(rng.choice(pool))
+        else:
+            neg_i = int(rng.integers(1, item_vocab))
         tgt_i.append(neg_i)
         tgt_c.append(int(item_to_cate[neg_i]))
         labels.append(0.0)
@@ -96,11 +104,26 @@ def build_examples(
 
 def synthetic_din(
     n_users: int = 500, item_vocab: int = 400, cate_vocab: int = 20,
-    seed: int = 0, mean_hist: int = 12,
+    seed: int = 0, mean_hist: int = 12, noise: float = 0.0,
+    hard_neg: float = 0.0,
 ) -> DinDataset:
     """Planted taste clusters: each user favors one category; their history
     and true next item come from it. A model attending to history beats
-    random easily — the learnability floor for tests."""
+    random easily — the learnability floor for tests.
+
+    Two hardness knobs (the default regression task uses noise=0.25,
+    hard_neg=0.35 via `synthetic_din_hard` — a clean task saturates at
+    AUC 0.99 and says nothing about regressions):
+
+    - ``noise``: probability that a history event is drawn from a random
+      category instead of the user's (taste impurity — the attention must
+      aggregate over a corrupted history);
+    - ``hard_neg``: fraction of negative targets sampled from the USER'S
+      OWN favored category instead of globally — those negatives carry the
+      same category-level signal as the positive, capping the planted
+      ceiling at ≈ 1 − hard_neg/2 and forcing the model to rank on more
+      than category identity.
+    """
     rng = np.random.default_rng(seed)
     item_to_cate = np.concatenate(
         [[0], rng.integers(1, cate_vocab, item_vocab - 1)]
@@ -110,6 +133,7 @@ def synthetic_din(
         for c in range(1, cate_vocab)
     }
     histories = []
+    fav_cates = []
     for _ in range(n_users):
         c = int(rng.integers(1, cate_vocab))
         pool = cate_items.get(c)
@@ -117,11 +141,49 @@ def synthetic_din(
             continue
         length = max(2, int(rng.poisson(mean_hist)))
         items = rng.choice(pool, size=length, replace=True)
+        if noise > 0.0:
+            flip = rng.random(length) < noise
+            items = np.where(flip,
+                             rng.integers(1, item_vocab, length), items)
+            # the true next item stays on-taste (events[-1] is the positive)
+            items[-1] = int(rng.choice(pool))
         histories.append([(int(i), int(item_to_cate[i])) for i in items])
+        fav_cates.append(c)
+    neg_pools = ([cate_items.get(c) for c in fav_cates]
+                 if hard_neg > 0.0 else None)
     return build_examples(
         histories, item_vocab=item_vocab, cate_vocab=cate_vocab,
         item_to_cate=item_to_cate, seed=seed + 1,
+        hard_neg=hard_neg, neg_pools=neg_pools,
     )
+
+
+def synthetic_din_hard(
+    n_users: int = 500, item_vocab: int = 400, cate_vocab: int = 20,
+    seed: int = 0, mean_hist: int = 12,
+) -> DinDataset:
+    """The hardened regression task (see synthetic_din): noisy histories +
+    in-category negatives. Target band for a healthy DIN: AUC ≈ 0.82-0.88
+    (the ceiling is ≈ 1 − hard_neg/2 ≈ 0.83 on category signal alone; the
+    residual comes from history-length/item statistics)."""
+    return synthetic_din(n_users, item_vocab, cate_vocab, seed, mean_hist,
+                         noise=0.25, hard_neg=0.35)
+
+
+def save_din_npz(ds: DinDataset, path: str) -> str:
+    """Persist a DinDataset (the offline L0 artifact for tools/train_din)."""
+    np.savez(path, i_id=ds.i_id, i_cate=ds.i_cate, hist_iid=ds.hist_iid,
+             hist_cate=ds.hist_cate, label=ds.label,
+             vocabs=np.asarray([ds.item_vocab, ds.cate_vocab], np.int64))
+    return path
+
+
+def load_din_npz(path: str) -> DinDataset:
+    with np.load(path) as z:
+        return DinDataset(
+            z["i_id"], z["i_cate"], z["hist_iid"], z["hist_cate"],
+            z["label"], int(z["vocabs"][0]), int(z["vocabs"][1]),
+        )
 
 
 def batches(ds: DinDataset, batch_size: int, *, shuffle: bool = True,

@@ -98,6 +98,79 @@ def _worker(kv: dict) -> None:
     print("WORKER_RESULT " + json.dumps(out))
 
 
+_COLLECTIVE_RE = None
+
+
+def measured_collectives(model_axis: int, data_axis: int, batch: int,
+                         model_name: str = "deepfm",
+                         cap_factor: float = 2.0) -> dict:
+    """MEASURED per-step collective volumes: compile the scanned SPMD train
+    step on a virtual mesh and parse every collective instruction (shape →
+    bytes) out of the optimized HLO. This is the ground truth the
+    documented capacity contract (parallel/sharded_embedding.py module
+    docstring) is asserted against in tests/test_bench_scaling.py — if the
+    lookup ever regresses into moving dense [B,F,W] activations through the
+    exchange, these numbers jump and the test fails.
+
+    Returns {'all-to-all': [...], 'all-gather': [...], 'all-reduce': [...],
+    'reduce-scatter': [...], 'collective-permute': [...]} where each entry
+    is (dtype, shape, bytes) of one instruction in the step program
+    (backward included — scan bodies appear once).
+    """
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recsys_tpu.core.config import CriteoConfig, MeshConfig, ModelConfig
+    from recsys_tpu.core.mesh import make_mesh
+    from recsys_tpu.data import criteo
+    from recsys_tpu.models.api import make_model
+    from recsys_tpu.parallel import spmd
+    from recsys_tpu.train import optim
+
+    cfg = CriteoConfig()
+    model = make_model(model_name, cfg, ModelConfig(name=model_name))
+    env = make_mesh(MeshConfig(data_axis=data_axis, model_axis=model_axis,
+                               a2a_cap_factor=cap_factor))
+    opt = optim.for_model(model.meta, 1e-3)
+    params, mstate = model.init(jax.random.key(0))
+    opt_state = opt.init(params)
+    pspecs = spmd.param_specs(params)
+    state = spmd.SpmdState(
+        params=spmd.place(params, pspecs, env),
+        model_state=spmd.place(
+            mstate, jax.tree.map(lambda _: spmd.P(), mstate), env),
+        opt_state=spmd.place(opt_state, spmd.opt_specs(pspecs, opt_state),
+                             env),
+        step=jnp.asarray(0, jnp.int32),
+        rng=jax.random.key(1),
+    )
+    data = criteo.synthetic_criteo(batch, cfg)
+    stack = {k: v[None] for k, v in data.items()}   # [K=1, B, ...]
+    step_fn = spmd.make_spmd_train_step_scanned(
+        model, opt, env, stack, a2a_cap_factor=cap_factor)
+    placed = spmd.place(stack, jax.tree.map(
+        lambda v: spmd.P(None, "data", *([None] * (v.ndim - 2))), stack), env)
+    hlo = step_fn.lower(state, placed).compile().as_text()
+
+    dt_bytes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+                "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8, "u64": 8}
+    out: dict[str, list] = {}
+    pat = re.compile(
+        r"=\s+(\w+)\[([0-9,]*)\][^=]*?\b"
+        r"(all-to-all|all-gather|all-reduce|reduce-scatter|"
+        r"collective-permute)\b")
+    for m in pat.finditer(hlo):
+        dt, shape_s, kind = m.groups()
+        shape = tuple(int(x) for x in shape_s.split(",")) if shape_s else ()
+        nbytes = dt_bytes.get(dt, 4) * int(np.prod(shape, dtype=np.int64))
+        out.setdefault(kind, []).append(
+            {"dtype": dt, "shape": shape, "bytes": nbytes})
+    return out
+
+
 def collective_sizes(batch: int, model_axis: int,
                      width: int, cap_factor: float = 2.0) -> dict:
     """Bytes moved per step by the sharded-embedding all-to-alls
@@ -119,6 +192,59 @@ def collective_sizes(batch: int, model_axis: int,
         "activation_return_bytes_per_device": act_bytes,
         "note": ("comms scale with unique ids (dedup before exchange), "
                  "not with the [B,F,D] activation as a psum design would"),
+    }
+
+
+def scaling_model(batch_per_chip: int = 16384, model_axis: int = 1,
+                  n_chips: int = 8) -> dict:
+    """Analytic per-step cost model for a real v5e pod slice (the scaling
+    table the virtual CPU mesh cannot measure — SURVEY §6's '≥85% to 2
+    hosts' target). Terms, per chip per step, for DeepFM at emb 16:
+
+    - compute: dense towers + interactions ≈ 6·B·Σ(fan_in·fan_out) FLOPs
+      (fwd + ~2× bwd); the MXU is never the bottleneck at these sizes;
+    - HBM: the Adam update streams the packed table + mu/nu ≈ 7 passes ×
+      V/model_axis × 17 × 4 B (the measured dominant term single-chip —
+      train/optim.py:18-30), plus batch gathers;
+    - ICI: the data-parallel gradient all-reduce moves 2·(D−1)/D ×
+      (V/model_axis × 17 × 4) B through each chip's links (dense table
+      grads — the deliberate design, optim.py); the sharded-embedding a2a
+      adds only E·cap·(1+W)·4 B (dedup contract, measured in
+      `measured_collectives`).
+
+    v5e public figures (approximate): 197e12 bf16 FLOP/s, 8.19e11 B/s HBM,
+    ICI ~4.5e10 B/s per direction per link. Prediction: the per-step time
+    is max(compute, HBM, ICI); for DeepFM the table terms dominate and
+    both shrink with model_axis — the pod-scale lever is sharding the
+    table (and its optimizer state), not the batch.
+    """
+    from recsys_tpu.core.config import CriteoConfig
+
+    cfg = CriteoConfig()
+    v = cfg.total_vocab
+    w = 17
+    b = batch_per_chip
+    flops = 6 * b * (624 * 100 + 100 * 100 + 100 * 3 + 39 * 16 * 2)
+    hbm = 7 * (v // model_axis) * w * 4 + b * 39 * w * 4 * 3
+    data_axis = max(1, n_chips // model_axis)
+    grad_bytes = (v // model_axis) * w * 4
+    ici = 2 * (data_axis - 1) / data_axis * grad_bytes
+    t_compute = flops / 197e12
+    t_hbm = hbm / 8.19e11
+    t_ici = ici / 4.5e10
+    t_step = max(t_compute, t_hbm, t_ici)
+    return {
+        "assumptions": "v5e ~197e12 bf16 FLOP/s, 819 GB/s HBM, "
+                       "~45 GB/s/dir ICI (public figures, approximate)",
+        "batch_per_chip": b, "model_axis": model_axis, "n_chips": n_chips,
+        "flops_per_step": flops, "hbm_bytes_per_step": hbm,
+        "ici_bytes_per_step": int(ici),
+        "t_compute_ms": t_compute * 1e3, "t_hbm_ms": t_hbm * 1e3,
+        "t_ici_ms": t_ici * 1e3,
+        "bound": max((("compute", t_compute), ("hbm", t_hbm),
+                      ("ici", t_ici)), key=lambda kv: kv[1])[0],
+        "predicted_examples_per_s_per_chip": b / t_step,
+        "predicted_examples_per_s_pod": n_chips * b / t_step,
     }
 
 
@@ -158,6 +284,9 @@ def main(argv: list[str] | None = None) -> dict:
             batch=int(kv.get("batch_per_device", 1024)) * max(devices),
             model_axis=min(int(kv.get("model_axis", 2)), max(devices)),
             width=17),
+        "scaling_model_v5e8": [
+            scaling_model(model_axis=m, n_chips=8) for m in (1, 2, 4)
+        ],
         "caveat": "virtual CPU mesh: devices share host cores; efficiency "
                   "is a lower bound, absolute ex/s not meaningful",
     }

@@ -46,9 +46,11 @@ log = logging.getLogger("recsys_tpu.converge")
 DEFAULT_MODELS = ("fm", "deepfm", "dcn", "xdeepfm", "dnn")
 EVAL_START_ROW = 1_000_000_000   # disjoint from every RESULTS/test slice
 
-#: per-model peak lr at batch 16384 (swept on v5e; see CONVERGENCE.md)
-PEAK_LR = {"fm": 3e-3, "deepfm": 3e-3, "dcn": 3e-3, "xdeepfm": 3e-3,
-           "dnn": 3e-3}
+#: per-model peak lr at batch 16384 (swept on v5e @ 50M examples:
+#: deepfm 1.5e-3→0.8535, 3e-3→0.8567, 6e-3→0.8573; xdeepfm 3e-3→0.8590,
+#: 6e-3→0.8597 — 6e-3 best and stable for every model)
+PEAK_LR = {"fm": 6e-3, "deepfm": 6e-3, "dcn": 6e-3, "xdeepfm": 6e-3,
+           "dnn": 6e-3}
 
 
 def _sync(x) -> float:

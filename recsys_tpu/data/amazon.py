@@ -163,11 +163,14 @@ def synthetic_din_hard(
     seed: int = 0, mean_hist: int = 12,
 ) -> DinDataset:
     """The hardened regression task (see synthetic_din): noisy histories +
-    in-category negatives. Target band for a healthy DIN: AUC ≈ 0.82-0.88
-    (the ceiling is ≈ 1 − hard_neg/2 ≈ 0.83 on category signal alone; the
-    residual comes from history-length/item statistics)."""
+    in-category negatives. The planted ceiling on category signal alone is
+    ≈ (1−hard_neg)·1 + hard_neg·0.5 ≈ 0.875; trained DIN lands ≈ 0.80-0.85
+    depending on data volume (calibrated on CPU: noise 0.25/hard_neg 0.35
+    trained to 0.76 vs its 0.81 ceiling — this setting keeps the task
+    non-saturating but above the noise floor). A regression that once
+    cleared 0.99 on the clean task now has ~0.1 AUC of headroom to lose."""
     return synthetic_din(n_users, item_vocab, cate_vocab, seed, mean_hist,
-                         noise=0.25, hard_neg=0.35)
+                         noise=0.2, hard_neg=0.25)
 
 
 def save_din_npz(ds: DinDataset, path: str) -> str:

@@ -89,6 +89,26 @@ def grpc_send(stub, body: bytes) -> np.ndarray:
     return _parse_response(stub(body, timeout=30.0))
 
 
+def grpc_send_future(stub, body: bytes):
+    """Async predict: fire the request, return a handle (the reference
+    client's ``stub.Predict.future(request, 10.0)`` pattern,
+    deepfm/grpc_client.py:80). Resolve with `grpc_future_result`."""
+    return stub.future(body, timeout=30.0)
+
+
+def grpc_future_result(future) -> np.ndarray:
+    return _parse_response(future.result())
+
+
+def grpc_predict_pipelined(stub, bodies: list[bytes]) -> list[np.ndarray]:
+    """Overlap N in-flight predicts on one channel: all requests go out
+    before any response is awaited (what the reference's future-based
+    client enables); the server's micro-batcher coalesces them into fewer
+    device calls."""
+    futures = [grpc_send_future(stub, b) for b in bodies]
+    return [grpc_future_result(f) for f in futures]
+
+
 def rest_predict(port: int, features: dict[str, np.ndarray],
                  model_name: str = "model") -> np.ndarray:
     body = json.dumps({"instances": features_to_instances(features)}).encode()

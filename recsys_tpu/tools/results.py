@@ -131,8 +131,11 @@ def bench_din(*, batch: int = 1024, steps: int = 300, seed: int = 0) -> dict:
     from recsys_tpu.models.api import make_model
     from recsys_tpu.train import fast, metrics as M, train_state as TS
 
-    ds = amazon.synthetic_din(n_users=20_000, item_vocab=2000, cate_vocab=40,
-                              seed=seed)
+    # hardened task (noisy histories + in-category negatives): planted
+    # ceiling ≈0.875, so the reported AUC is a real regression target —
+    # the clean task saturated at 0.99 (VERDICT r3 weak #6)
+    ds = amazon.synthetic_din_hard(n_users=20_000, item_vocab=2000,
+                                   cate_vocab=40, seed=seed)
     model = make_model("din", ds.item_vocab, ds.cate_vocab,
                        ModelConfig(name="din", embedding_dim=16,
                                    dropout=0.1, use_bn=False))

@@ -1,5 +1,7 @@
 """DIN end-to-end: synthetic taste-cluster data → AUC above floor."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,3 +53,36 @@ def test_din_learns_synthetic():
     out = M.finalize_binary_metrics(mstate)
     # taste clusters are easily separable from history: demand a solid AUC
     assert out["auc"] > 0.75, out
+
+
+def test_train_din_cli_round_trip(tmp_path, monkeypatch):
+    """The DIN task_type CLI (tools/train_din, reference din/din.py:204-248
+    parity): train → checkpoint → eval → export → Servable predict."""
+    monkeypatch.chdir(tmp_path)
+    from recsys_tpu.tools import train_din
+
+    common = [
+        "--synthetic_users=600", "--item_vocab=200", "--cate_vocab=10",
+        "--model.embedding_dim=8", "--model.attention_layers=8,4",
+        "--model.mlp_layers=16,8",
+        "--train.batch_size=128", "--train.eval_steps=4",
+        f"--train.model_dir={tmp_path / 'm'}",
+    ]
+    metrics = train_din.main(
+        ["train", "--train.num_steps=30", "--train.eval_every_steps=15",
+         "--train.log_every_steps=10", "--train.learning_rate=0.005"]
+        + common)
+    assert np.isfinite(metrics["final_loss"])
+    assert os.path.exists(tmp_path / "m" / "step_30")
+
+    m_eval = train_din.main(["eval"] + common)
+    assert 0.0 <= m_eval["auc"] <= 1.0
+
+    out = train_din.main(
+        ["export", f"--export_dir={tmp_path / 'exp'}"] + common)
+    from recsys_tpu.serve.export import Servable
+    sv = Servable(out["export_dir"], buckets=(16,))
+    feats = sv._sample_features(5)
+    probs = sv.predict(feats)
+    assert probs.shape == (5,)
+    assert np.all((probs >= 0) & (probs <= 1))

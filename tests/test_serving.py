@@ -252,3 +252,31 @@ def test_socket_raw_round_trip(exported):
         sc.close()
     finally:
         srv.shutdown()
+
+
+def test_grpc_async_pipelined(exported):
+    """Future-based async predicts (stub.Predict.future parity,
+    deepfm/grpc_client.py:80): N in-flight requests on one channel all
+    resolve to the direct servable results."""
+    from recsys_tpu.serve.server import make_grpc_server
+
+    sv = Servable(exported, buckets=(8, 32))
+    server, batcher = make_grpc_server(sv, port=18517)
+    server.start()
+    try:
+        stub = C.make_grpc_stub(18517)
+        batches = [_features(8)[0] for _ in range(6)]
+        bodies = [C.prepare_body(f, fmt="raw") for f in batches]
+        # fire one future explicitly, then the pipelined helper
+        fut = C.grpc_send_future(stub, bodies[0])
+        np.testing.assert_allclose(
+            C.grpc_future_result(fut), sv.predict(batches[0]),
+            rtol=1e-5, atol=1e-6)
+        outs = C.grpc_predict_pipelined(stub, bodies)
+        assert len(outs) == 6
+        for feats, probs in zip(batches, outs):
+            np.testing.assert_allclose(probs, sv.predict(feats),
+                                       rtol=1e-5, atol=1e-6)
+    finally:
+        server.stop(0)
+        batcher.stop()

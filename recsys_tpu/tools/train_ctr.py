@@ -97,9 +97,12 @@ def main(argv: list[str] | None = None) -> dict:
     if task == "train":
         import os
         total_bytes = sum(os.path.getsize(p) for p in train_paths)
-        rows_total = sum(
-            len(np.load(p)["label"]) for p in train_paths[:1]
-        ) * len(train_paths)
+        # exact epoch size: read each shard's label length from the npz
+        # header (cheap — no array data is loaded until indexed)
+        rows_total = 0
+        for p in train_paths:
+            with np.load(p) as z:
+                rows_total += z["label"].shape[0]
         num_steps = cfg.train.num_steps
         if num_steps < 0:
             num_steps = cfg.train.num_epochs * rows_total // cfg.train.batch_size

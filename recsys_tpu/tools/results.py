@@ -448,8 +448,11 @@ def main(argv: list[str] | None = None) -> dict:
         except Exception:
             old = {}
     from recsys_tpu.data.criteo import synthetic_bayes_metrics
+    from recsys_tpu.data.synthetic_device import idonly_bayes_metrics
     eval_rows = max(8 * batch, 65536)
     ceiling = synthetic_bayes_metrics(eval_rows, start_row=10 * rows_n)
+    idonly = idonly_bayes_metrics(eval_rows, start_row=10 * rows_n)
+    result["idonly_ceiling"] = idonly
     result["bayes_ceiling"] = ceiling
     do_ctr = kv.get("ctr", "1") not in ("0", "false")
     new_ctr = ([bench_ctr(m, batch=batch, steps=steps, rows=rows_n, lr=lr)
@@ -467,7 +470,10 @@ def main(argv: list[str] | None = None) -> dict:
     order += [m for m in (r["model"] for r in new_ctr) if m not in order]
     ctr_rows = [by_model[m] for m in order] or new_ctr
     result["ctr"] = ctr_rows
-    ctr_rows = ctr_rows + [{"model": "(bayes ceiling)", **ceiling}]
+    ctr_rows = ctr_rows + [
+        {"model": "(id-only ceiling)", **idonly},
+        {"model": "(bayes ceiling)", **ceiling},
+    ]
     def _carry(section):
         """Old section + provenance marker: measured at its own commit."""
         sec = old[section]
@@ -504,7 +510,11 @@ def main(argv: list[str] | None = None) -> dict:
         "comparable to the reference's real-dataset AUC. The `(bayes "
         "ceiling)` row is the AUC/logloss of the planted ground-truth "
         "probabilities on the same eval slice — the best any model could "
-        "do. Throughput IS comparable: `vs reference` divides our "
+        "do; `(id-only ceiling)` is the best for models that never see "
+        "the raw `dense` values (all but xDeepFM). This table's 1-epoch "
+        "rows are deliberately short; CONVERGENCE.md shows the tuned "
+        "protocol closing the gap to these ceilings to ≲0.002 AUC. "
+        "Throughput IS comparable: `vs reference` divides our "
         "examples/s/chip by the reference's 2-GPU examples/s (BASELINE.md).",
         "",
         f"## CTR zoo (synthetic Criteo, 39 fields, emb 16, batch {batch})",

@@ -333,10 +333,10 @@ def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
     # quick training pass so served predictions rank properly (AUC ~0.78+
     # on the planted task instead of random-init noise)
     ts, tx = TS.create_train_state(model, seed=seed, learning_rate=2e-3)
-    train_rows = 1 << 20
+    train_rows = 1 << 22
     ts, _ = fast.train_on_device(
         model, tx, ts, _synthetic_cached(train_rows, cfg),
-        batch_size=8192, num_steps=400, steps_per_call=100)
+        batch_size=8192, num_steps=1500, steps_per_call=100)
     params = jax.tree.map(np.asarray, ts.params)
     state = jax.tree.map(np.asarray, ts.model_state)
 

@@ -38,6 +38,7 @@ Engine interface (used by models/ctr.py):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,8 +48,57 @@ from recsys_tpu.core.config import EmbeddingConfig
 from recsys_tpu.embeddings import table as emb_table
 from recsys_tpu.ops import nn
 
+
+class EmbParts(NamedTuple):
+    """Layout-friendly lookup output (the fast-path engine contract).
+
+    The naive contract — one [B, F, D+1] tensor in ORIGINAL field order —
+    forces a chain of lane-padded materializations on TPU: any [.., .., 17]
+    tensor tiles its minor dim to 128 lanes (7.5× physical bytes), and the
+    concat + inverse-field-permutation + emb/wide split + model-side
+    flatten each realize a full copy of it (~3.5 ms/step at batch 16384,
+    tools/profile_step.py). This struct keeps everything in its natural
+    layout instead:
+
+    - ``emb_2d`` [B, F·D]: field-major flat embeddings in ENGINE order
+      (small fields first, then big). Models consume it directly as the
+      DNN/cross input; the field permutation is absorbed by the first
+      dense layer's init (permutation-equivalent model family).
+    - ``wide`` [B, F]: per-field wide weights, engine order.
+    - ``emb_sum`` / ``emb_sq_sum`` [B, D]: Σ_f e_f and Σ_f e_f² — all the
+      FM pairwise term needs (`interactions.fm_pairwise_from_sums`);
+      reduced per part so the 3-D form never materializes.
+    - ``field_order`` [F] numpy: engine position → original field index
+      (static; lets models pick original-field subsets of ``wide`` without
+      reordering data, e.g. xDeepFM's cat-only linear term).
+    """
+
+    emb_2d: jax.Array
+    wide: jax.Array
+    emb_sum: jax.Array
+    emb_sq_sum: jax.Array
+    field_order: np.ndarray
+
+    def emb_3d(self, num_fields: int, dim: int) -> jax.Array:
+        """[B, F, D] in engine order — only for models that genuinely need
+        the 3-D form (xDeepFM's CIN); materializes one relayout."""
+        return self.emb_2d.reshape(self.emb_2d.shape[0], num_fields, dim)
+
 #: Fields with vocab ≤ this go through the one-hot-matmul path.
 SPLIT_THRESHOLD = 2048
+
+
+def _parts_from_rows(emb: jax.Array, wide: jax.Array,
+                     field_order: np.ndarray) -> EmbParts:
+    """EmbParts from a [B, F, D] + [B, F] lookup (the row-tensor engines)."""
+    b, f, d = emb.shape
+    return EmbParts(
+        emb_2d=emb.reshape(b, f * d),
+        wide=wide,
+        emb_sum=jnp.sum(emb, axis=1),
+        emb_sq_sum=jnp.sum(jnp.square(emb), axis=1),
+        field_order=field_order,
+    )
 
 
 def _matmul_dtype():
@@ -88,6 +138,21 @@ class FusedGatherEngine:
         rows = emb_table.table_gather_flat(params["table_flat"], gids,
                                            self.v_pad, self.width)
         return rows[:, :, :-1], rows[:, :, -1]
+
+    @property
+    def field_order(self) -> np.ndarray:
+        return np.arange(len(self.cfg.field_vocab_sizes), dtype=np.int32)
+
+    def lookup_parts(self, params, ids, train: bool = True) -> EmbParts:
+        emb, wide = self.lookup(params, ids, train=train)
+        return _parts_from_rows(emb, wide, self.field_order)
+
+    def lookup_parts_sharded(self, params, ids, axis_name: str = "model",
+                             exact: bool = False,
+                             cap_factor: float = 2.0) -> EmbParts:
+        emb, wide = self.lookup_sharded(params, ids, axis_name,
+                                        exact=exact, cap_factor=cap_factor)
+        return _parts_from_rows(emb, wide, self.field_order)
 
     def lookup_sharded(self, params, ids, axis_name: str = "model",
                        exact: bool = False, cap_factor: float = 2.0):
@@ -218,6 +283,137 @@ class SplitEngine:
         per_shard = np.array_split(gids, num_data, axis=0)
         return max(SE.a2a_overflow(s, num_model, shard_rows, cap_factor)
                    for s in per_shard)
+
+    @property
+    def field_order(self) -> np.ndarray:
+        small, big = self._partition()
+        return np.asarray(small + big, np.int32)
+
+    def _small_parts(self, table, ids, small_fields, train: bool):
+        """(emb_2d [B, Fs·D], wide [B, Fs]) with emb and wide SEPARATED at
+        the matmul: one multi-hot @ [Vs, Fs·D + Fs] block matrix whose
+        first Fs·D columns are per-field embedding blocks and last Fs are
+        the wide weights. Downstream never slices a [.., .., D+1] tensor
+        (each such slice/copy realizes a 7.5×-lane-padded [B, F, 17]
+        intermediate — the relayout chain this layout exists to kill)."""
+        sizes = self._sizes(small_fields)
+        fs, d = len(sizes), self.cfg.embedding_dim
+        vs = int(sum(sizes))
+        if not train:
+            rows = self._small_rows_gather(table, ids, small_fields)
+            emb = rows[:, :, :d]
+            return emb.reshape(ids.shape[0], fs * d), rows[:, :, d]
+        offsets = emb_table.field_offsets(sizes)
+        sub = ids[:, np.asarray(small_fields, np.int32)]
+        gids = sub + jnp.asarray(offsets)[None, :]
+
+        dt = _matmul_dtype()
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, vs), 1)
+        oh = jnp.zeros((ids.shape[0], vs), dt)
+        for f in range(fs):
+            oh = oh + (gids[:, f][:, None] == iota).astype(dt)
+
+        wblk = jnp.zeros((vs, fs * d + fs), table.dtype)
+        lo = 0
+        for f, v in enumerate(sizes):
+            wblk = jax.lax.dynamic_update_slice(
+                wblk, table[lo:lo + v, :d], (lo, f * d))
+            wblk = jax.lax.dynamic_update_slice(
+                wblk, table[lo:lo + v, d:d + 1], (lo, fs * d + f))
+            lo += v
+        out = jnp.dot(oh, wblk.astype(dt),
+                      preferred_element_type=jnp.float32)   # [B, Fs·D+Fs]
+        return out[:, :fs * d], out[:, fs * d:]
+
+    def _big_rows(self, params, ids, big_fields):
+        b_sizes = self._sizes(big_fields)
+        offsets = emb_table.field_offsets(b_sizes)
+        gids = ids[:, np.asarray(big_fields, np.int32)] + \
+            jnp.asarray(offsets)[None, :]
+        v_pad = emb_table.pad_rows(sum(b_sizes))
+        return emb_table.table_gather_flat(params["big_flat"], gids,
+                                           v_pad, self.width)
+
+    def lookup_parts(self, params, ids, train: bool = True) -> EmbParts:
+        """The layout-friendly lookup (see EmbParts): small fields stay 2-D
+        out of the matmul, big fields contribute one [B, Fb, D+1] gather;
+        field order = engine order (small, then big)."""
+        small, big = self._partition()
+        d = self.cfg.embedding_dim
+        b = ids.shape[0]
+        emb2_parts, wide_parts = [], []
+        emb_sum = jnp.zeros((b, d), jnp.float32)
+        emb_sq_sum = jnp.zeros((b, d), jnp.float32)
+        if small:
+            s_emb2, s_wide = self._small_parts(params["small"], ids, small,
+                                               train)
+            emb2_parts.append(s_emb2)
+            wide_parts.append(s_wide)
+            s3 = s_emb2.reshape(b, len(small), d)
+            emb_sum = emb_sum + jnp.sum(s3, axis=1)
+            emb_sq_sum = emb_sq_sum + jnp.sum(jnp.square(s3), axis=1)
+        if big:
+            rows = self._big_rows(params, ids, big)        # [B, Fb, D+1]
+            bemb = rows[:, :, :d]
+            emb2_parts.append(bemb.reshape(b, len(big) * d))
+            wide_parts.append(rows[:, :, d])
+            emb_sum = emb_sum + jnp.sum(bemb, axis=1)
+            emb_sq_sum = emb_sq_sum + jnp.sum(jnp.square(bemb), axis=1)
+        return EmbParts(
+            emb_2d=(emb2_parts[0] if len(emb2_parts) == 1
+                    else jnp.concatenate(emb2_parts, axis=1)),
+            wide=(wide_parts[0] if len(wide_parts) == 1
+                  else jnp.concatenate(wide_parts, axis=1)),
+            emb_sum=emb_sum,
+            emb_sq_sum=emb_sq_sum,
+            field_order=self.field_order,
+        )
+
+    def lookup_parts_sharded(self, params, ids, axis_name: str = "model",
+                             exact: bool = False,
+                             cap_factor: float = 2.0) -> EmbParts:
+        """Parts lookup inside shard_map: same math/order as lookup_parts,
+        big rows fetched via dedup + all-to-all — local-vs-sharded model
+        outputs stay bit-comparable (tests/test_spmd.py)."""
+        from recsys_tpu.parallel import sharded_embedding as SE
+
+        small, big = self._partition()
+        d = self.cfg.embedding_dim
+        b = ids.shape[0]
+        emb2_parts, wide_parts = [], []
+        emb_sum = jnp.zeros((b, d), jnp.float32)
+        emb_sq_sum = jnp.zeros((b, d), jnp.float32)
+        if small:
+            s_emb2, s_wide = self._small_parts(params["small"], ids, small,
+                                               train=True)
+            emb2_parts.append(s_emb2)
+            wide_parts.append(s_wide)
+            s3 = s_emb2.reshape(b, len(small), d)
+            emb_sum = emb_sum + jnp.sum(s3, axis=1)
+            emb_sq_sum = emb_sq_sum + jnp.sum(jnp.square(s3), axis=1)
+        if big:
+            b_sizes = self._sizes(big)
+            offsets = emb_table.field_offsets(b_sizes)
+            gids = ids[:, np.asarray(big, np.int32)] + \
+                jnp.asarray(offsets)[None, :]
+            local = params["big_flat"].reshape(-1, self.width)
+            rows = SE.a2a_embedding_lookup(local, gids, axis_name,
+                                           exact=exact,
+                                           cap_factor=cap_factor)
+            bemb = rows[:, :, :d]
+            emb2_parts.append(bemb.reshape(b, len(big) * d))
+            wide_parts.append(rows[:, :, d])
+            emb_sum = emb_sum + jnp.sum(bemb, axis=1)
+            emb_sq_sum = emb_sq_sum + jnp.sum(jnp.square(bemb), axis=1)
+        return EmbParts(
+            emb_2d=(emb2_parts[0] if len(emb2_parts) == 1
+                    else jnp.concatenate(emb2_parts, axis=1)),
+            wide=(wide_parts[0] if len(wide_parts) == 1
+                  else jnp.concatenate(wide_parts, axis=1)),
+            emb_sum=emb_sum,
+            emb_sq_sum=emb_sq_sum,
+            field_order=self.field_order,
+        )
 
     def _small_rows_gather(self, table, ids, small_fields):
         """[B, Fs, D+1] via plain row gather — the inference path."""

@@ -42,8 +42,13 @@ def field_offsets(field_vocab_sizes: tuple[int, ...]) -> np.ndarray:
     )
 
 
-def pad_rows(total: int, multiple: int = 8) -> int:
-    """Pad the packed vocab to a sublane multiple so the table tiles cleanly."""
+def pad_rows(total: int, multiple: int = 512) -> int:
+    """Pad the packed vocab so the table tiles cleanly AND aligns with the
+    Pallas scatter's TILE_V (ops/pallas_kernels.py): when the table row
+    count is already a tile multiple, the backward's ``out[:num_rows]``
+    slice is an identity and XLA elides it — otherwise it materializes a
+    full lane-padded copy of the gradient table (~1.3 ms/step at the
+    Criteo vocab, tools/profile_step.py)."""
     return (total + multiple - 1) // multiple * multiple
 
 

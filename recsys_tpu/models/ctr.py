@@ -78,6 +78,22 @@ class _CriteoBase:
                 cap_factor=emb_ops.a2a_cap_factor)
         return self.engine.lookup(params["tables"], batch["ids"], train=train)
 
+    def lookup_parts(self, params, batch, emb_ops: EmbOps,
+                     train: bool = True):
+        """Layout-friendly lookup (engines.EmbParts): embeddings arrive 2-D
+        in ENGINE field order with FM sums pre-reduced — none of the
+        lane-padded [B, F, D+1] concat/permute/split intermediates of the
+        row-tensor contract materialize (the single biggest step-time item
+        after the gather/scatter pair, tools/profile_step.py). The field
+        permutation is static and absorbed by the first dense layer's init;
+        models needing original-field subsets use ``parts.field_order``."""
+        if emb_ops.sharded:
+            return self.engine.lookup_parts_sharded(
+                params["tables"], batch["ids"], exact=emb_ops.a2a_exact,
+                cap_factor=emb_ops.a2a_cap_factor)
+        return self.engine.lookup_parts(params["tables"], batch["ids"],
+                                        train=train)
+
 
 # ---------------------------------------------------------------------------
 # FM — fm/fm.py:115-170
@@ -104,11 +120,13 @@ def make_fm(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, wide = base.lookup(params, batch, emb_ops, train=train)
+        parts = base.lookup_parts(params, batch, emb_ops, train=train)
         y_1d = jax.nn.relu(
-            jnp.sum(wide, axis=1, keepdims=True) + params["tables"]["b"]
+            jnp.sum(parts.wide, axis=1, keepdims=True)
+            + params["tables"]["b"]
         )
-        y_2d = interactions.fm_pairwise(emb)                       # [B,1]
+        y_2d = interactions.fm_pairwise_from_sums(
+            parts.emb_sum, parts.emb_sq_sum)                       # [B,1]
         logits = nn.dense(params["final"], jnp.concatenate([y_1d, y_2d], -1))
         return _squeeze_logits(logits), state
 
@@ -144,13 +162,15 @@ def make_deepfm(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, wide = base.lookup(params, batch, emb_ops, train=train)
+        parts = base.lookup_parts(params, batch, emb_ops, train=train)
         y_1d = jax.nn.relu(
-            jnp.sum(wide, axis=1, keepdims=True) + params["tables"]["b"]
+            jnp.sum(parts.wide, axis=1, keepdims=True)
+            + params["tables"]["b"]
         )
-        y_2d = interactions.fm_pairwise(emb)
+        y_2d = interactions.fm_pairwise_from_sums(
+            parts.emb_sum, parts.emb_sq_sum)
         h, dnn_s = nn.mlp_apply(
-            params["dnn"], state["dnn"], emb.reshape(emb.shape[0], flat_dim),
+            params["dnn"], state["dnn"], parts.emb_2d,
             train=train, dropout_rate=cfg.dropout, rng=rng,
         )
         y_dnn = nn.dense(params["dnn_out"], h, activation=jax.nn.relu)
@@ -193,8 +213,8 @@ def make_dcn(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, _ = base.lookup(params, batch, emb_ops, train=train)
-        x0 = emb.reshape(emb.shape[0], flat_dim)
+        parts = base.lookup_parts(params, batch, emb_ops, train=train)
+        x0 = parts.emb_2d
         xl = interactions.cross_apply(params["cross"], x0)
         h, dnn_s = nn.mlp_apply(
             params["dnn"], state["dnn"], x0,
@@ -245,19 +265,27 @@ def make_xdeepfm(criteo: CriteoConfig = CriteoConfig(),
         params["final"] = _final_dense_init(k_final, 3)
         return params, {"dnn": mlp_s}
 
+    # engine-order positions of the 26 categorical fields (original index
+    # ≥ n_cont) — static subset of parts.wide, no data reordering
+    cat_pos = np.where(base.engine.field_order >= n_cont)[0].astype(np.int32)
+
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, wide = base.lookup(params, batch, emb_ops, train=train)           # [B,F,D]
+        parts = base.lookup_parts(params, batch, emb_ops, train=train)
         lin = (
             nn.dense(params["lin_dense"], batch["dense"])
-            + jnp.sum(wide[:, n_cont:], axis=1, keepdims=True)
+            + jnp.sum(jnp.take(parts.wide, jnp.asarray(cat_pos), axis=1),
+                      axis=1, keepdims=True)
         )
         linear_y = jax.nn.relu(lin)
+        # CIN consumes the 3-D field-map form; engine field order is a
+        # static permutation the CIN weights absorb at init
+        emb = parts.emb_3d(base.num_fields, cfg.embedding_dim)
         cin_pool = interactions.cin_apply(params["cin"], emb)
         cin_y = nn.dense(params["cin_out"], cin_pool, activation=jax.nn.relu)
 
         h, dnn_s = nn.mlp_apply(
-            params["dnn"], state["dnn"], emb.reshape(emb.shape[0], flat_dim),
+            params["dnn"], state["dnn"], parts.emb_2d,
             train=train, dropout_rate=cfg.dropout, rng=rng,
         )
         dnn_y = nn.dense(params["dnn_out"], h, activation=jax.nn.relu)
@@ -291,9 +319,9 @@ def make_dnn(criteo: CriteoConfig = CriteoConfig(),
 
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
-        emb, _ = base.lookup(params, batch, emb_ops, train=train)
+        parts = base.lookup_parts(params, batch, emb_ops, train=train)
         h, dnn_s = nn.mlp_apply(
-            params["dnn"], state["dnn"], emb.reshape(emb.shape[0], flat_dim),
+            params["dnn"], state["dnn"], parts.emb_2d,
             train=train, dropout_rate=cfg.dropout, rng=rng,
         )
         logits = nn.dense(params["final"], h)

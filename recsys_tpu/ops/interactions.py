@@ -38,6 +38,16 @@ def fm_pairwise(emb: jax.Array) -> jax.Array:
     return 0.5 * jnp.sum(sum_sq - sq_sum, axis=1, keepdims=True)
 
 
+def fm_pairwise_from_sums(emb_sum: jax.Array,
+                          emb_sq_sum: jax.Array) -> jax.Array:
+    """`fm_pairwise` from pre-reduced per-batch field sums ([B, D] Σ_f e_f
+    and Σ_f e_f²) — what the parts-based embedding engines hand out so the
+    [B, F, D] tensor never materializes in a lane-padded layout
+    (embeddings/engines.py EmbParts)."""
+    return 0.5 * jnp.sum(jnp.square(emb_sum) - emb_sq_sum, axis=1,
+                         keepdims=True)
+
+
 # ---------------------------------------------------------------------------
 # DCN cross layers (dcn/dcn.py:132-142)
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ MXU formulation:
 **sorted_segment_scatter** — embedding-gradient accumulation as tiled
 one-hot matmuls. The flat update stream (ids [N], grads [N, W]) is sorted
 by row id (XLA sort); the wrapper derives a static-size work-item list
-``(tile, chunk)`` covering, for every 512-row table tile, exactly the
+``(tile, chunk)`` covering, for every TILE_V-row table tile, exactly the
 sorted-id chunks that overlap it (≤ chunks + tiles items in total — each
 chunk/tile boundary crossing adds one). The kernel walks the work items;
 Pallas block pipelining streams the id/grad chunks, and each item runs
@@ -44,10 +44,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Rows per table tile and sorted updates per chunk. A [TILE_V, CHUNK]
-# one-hot times a [CHUNK, W] grad block is one MXU pass; CHUNK=1024 halves
-# the number of work items vs 512 at the same VMEM cost.
-TILE_V = 512
-CHUNK = 1024
+# one-hot times a [CHUNK, W] grad block is one MXU pass. Kernel FLOPs scale
+# as N·TILE_V + V·CHUNK (every chunk crosses ~N/V·TILE_V tiles; every tile
+# pays ≥1 item): at Criteo scale (V≈838k rows, N≈229k updates) the V·CHUNK
+# term dominates, so a SMALLER chunk with a larger tile is strictly better
+# — swept on v5e at batch 16384: (512,1024) 1.41M ex/s end-to-end,
+# (1024,512) 1.50M, (1024,256) 1.54M (best), (2048,128) 1.47M.
+TILE_V = 1024
+CHUNK = 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -221,6 +225,11 @@ def embedding_lookup_vjp(table: jax.Array, gids: jax.Array) -> jax.Array:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _lookup_flat(table_flat, gids, num_rows, width):
+    # NOTE (measured dead end): gathering (1, W) slices from a
+    # [V/64, 64·W] view of the flat table — which would avoid the per-step
+    # flat→[V, W] relayout entirely — is ~50× slower end-to-end; XLA's TPU
+    # gather emitter only runs at full rate on whole-minor-dim row
+    # gathers. The reshape+row-gather below is the fast formulation.
     return jnp.take(table_flat.reshape(num_rows, width), gids, axis=0)
 
 

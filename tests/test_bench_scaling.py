@@ -71,7 +71,10 @@ def test_hlo_collectives_match_documented_contract():
 
     # the DP gradient all-reduce of the row-sharded big table exists and
     # carries (big_rows/E)·W floats — the dense-update design (optim.py)
-    big_pad_rows = 837360   # pad_rows(sum of >threshold vocabs)
+    from recsys_tpu.embeddings.table import pad_rows
+    cfg = CriteoConfig()
+    big_pad_rows = pad_rows(sum(
+        v for v in cfg.field_vocab_sizes if v > SPLIT_THRESHOLD))
     grad_elems = big_pad_rows // ma * 17
     ar = [c for c in got.get("all-reduce", [])
           if int(np.prod(c["shape"])) == grad_elems]

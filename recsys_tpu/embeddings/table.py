@@ -42,13 +42,17 @@ def field_offsets(field_vocab_sizes: tuple[int, ...]) -> np.ndarray:
     )
 
 
-def pad_rows(total: int, multiple: int = 512) -> int:
+def pad_rows(total: int, multiple: int | None = None) -> int:
     """Pad the packed vocab so the table tiles cleanly AND aligns with the
     Pallas scatter's TILE_V (ops/pallas_kernels.py): when the table row
     count is already a tile multiple, the backward's ``out[:num_rows]``
     slice is an identity and XLA elides it — otherwise it materializes a
     full lane-padded copy of the gradient table (~1.3 ms/step at the
-    Criteo vocab, tools/profile_step.py)."""
+    Criteo vocab, tools/profile_step.py). The multiple therefore defaults
+    to TILE_V itself so the alignment holds for any schema, not only ones
+    whose padded vocab happens to also be a TILE_V multiple."""
+    if multiple is None:
+        multiple = pk.TILE_V
     return (total + multiple - 1) // multiple * multiple
 
 

@@ -40,9 +40,12 @@ class EmbOps:
     ``embed``/``linear`` callables serve models that own raw tables (DIN,
     wide). ``a2a_exact`` sizes the all-to-all capacity for the worst case
     (lossless; used by equivalence tests); ``a2a_cap_factor`` sizes the
-    non-exact capacity (ids beyond it would silently drop — the SPMD
-    driver's startup check guarantees the configured factor is lossless
-    for the observed id distribution, train/spmd_loop.py).
+    non-exact capacity (ids beyond it would silently drop). The SPMD
+    driver checks the factor against SAMPLED batches at startup and — for
+    streams — periodically during training (train/spmd_loop.py
+    resolve_a2a_exact / _recheck_stacks), which catches skewed id→owner
+    distributions with high probability but is not a worst-case
+    guarantee; only ``a2a_exact=True`` is lossless by construction.
     """
 
     embed: Callable[[dict, jax.Array], jax.Array]

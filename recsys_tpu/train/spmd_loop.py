@@ -310,18 +310,50 @@ def train_and_evaluate_spmd_stream(
     except StopIteration:
         raise ValueError("train stream yielded no full scan stack") from None
     bs = len(first_stack["label"][0])
-    if bs % env.num_data != 0:
+    # under multi-process jax.distributed each process streams its own file
+    # shard: the stream's batches are process-local slices of a
+    # process_count×-larger global batch
+    data_span = (env.mesh.shape[DATA_AXIS]
+                 // env.mesh.local_mesh.shape[DATA_AXIS])
+    global_bs = bs * data_span
+    if global_bs % env.num_data != 0:
         raise ValueError(
-            f"batch_size {bs} not divisible by data axis {env.num_data}")
+            f"global batch {global_bs} not divisible by data axis "
+            f"{env.num_data}")
 
     a2a_exact = resolve_a2a_exact(
         model, mesh_cfg, env,
         [first_stack["ids"][i] for i in range(min(4, steps_per_call))])
 
+    def _recheck_stacks(stacks, period: int = 64):
+        """The startup check only sees the epoch head; a non-stationary or
+        unshuffled stream can drift to heavier id→owner skew later. Recheck
+        one batch of every ``period``-th stack (cheap host numpy) so a
+        would-be silent overflow fails loudly instead."""
+        engine = model.meta.get("engine")
+        check = (not a2a_exact and env.num_model > 1
+                 and mesh_cfg.a2a_policy != "off"
+                 and engine is not None and hasattr(engine, "a2a_overflow"))
+        for n, stack in enumerate(stacks):
+            if check and n % period == 0 and n > 0:
+                worst = engine.a2a_overflow(
+                    stack["ids"][0], env.num_data, env.num_model,
+                    mesh_cfg.a2a_cap_factor)
+                if worst:
+                    raise ValueError(
+                        f"sharded-embedding a2a overflow mid-stream (stack "
+                        f"{n}): {worst} unique ids exceed the per-owner "
+                        f"capacity at a2a_cap_factor="
+                        f"{mesh_cfg.a2a_cap_factor} — the stream's id "
+                        "distribution drifted beyond the startup sample. "
+                        "Fix: raise --mesh.a2a_cap_factor or set "
+                        "--mesh.a2a_exact=true (lossless).")
+            yield stack
+
     example_stack = {k: v for k, v in first_stack.items()}
     step_fn = spmd.make_spmd_train_step_scanned(
         model, opt, env, example_stack, a2a_exact=a2a_exact,
-        a2a_cap_factor=mesh_cfg.a2a_cap_factor)
+        a2a_cap_factor=mesh_cfg.a2a_cap_factor, global_batch=global_bs)
 
     eval_logits_fn = None
     metric_update = jax.jit(M.update_binary_metrics)
@@ -329,11 +361,12 @@ def train_and_evaluate_spmd_stream(
     def run_eval(st: spmd.SpmdState) -> dict[str, float]:
         nonlocal eval_logits_fn
         mstate_m = M.init_binary_metrics()
-        n_done = 0
+        n_done = n_skipped = 0
         for hb in eval_batches_fn():
             if len(hb["label"]) != bs:
-                continue   # static shapes: skip stragglers
-            batch = spmd.place(hb, spmd.batch_specs(hb), env)
+                n_skipped += 1   # static shapes: skip stragglers
+                continue
+            batch = spmd.place_local_batch(hb, spmd.batch_specs(hb), env)
             if eval_logits_fn is None:
                 eval_logits_fn = spmd.make_spmd_eval_logits(
                     model, env, batch, a2a_exact=a2a_exact,
@@ -343,11 +376,20 @@ def train_and_evaluate_spmd_stream(
             n_done += 1
             if n_done >= cfg.eval_steps:
                 break
+        if n_done == 0:
+            raise ValueError(
+                f"eval stream produced no batch of the train batch size "
+                f"{bs} ({n_skipped} other-sized batches skipped) — metrics "
+                "would finalize over zero updates. Make eval_batches_fn "
+                "yield the train batch size (stragglers are dropped).")
+        if n_skipped:
+            log.info("eval: %d straggler batches skipped (size != %d)",
+                     n_skipped, bs)
         return M.finalize_binary_metrics(mstate_m)
 
     # chain the first stack back in front of the prefetched stream
     import itertools
-    stacked = itertools.chain([first_stack], stack_iter)
+    stacked = _recheck_stacks(itertools.chain([first_stack], stack_iter))
     dev_iter = device_prefetch(
         stacked, env, depth=prefetch_depth,
         axes_fn=lambda v: [None, "data"] + [None] * (v.ndim - 2))
@@ -369,14 +411,14 @@ def train_and_evaluate_spmd_stream(
             now = time.time()
             rate = (done - window_steps) / max(now - window_t0, 1e-9)
             log.info("spmd-stream step %d loss %.5f  %.1f steps/s  %.0f ex/s"
-                     " (mesh %dx%d)", done, loss_v, rate, rate * bs,
+                     " (mesh %dx%d)", done, loss_v, rate, rate * global_bs,
                      env.num_data, env.num_model)
             window_t0, window_steps = now, done
             last_metrics = run_eval(state)
             log.info("eval @ step %d: auc %.5f logloss %.5f acc %.5f",
                      done, last_metrics["auc"], last_metrics["logloss"],
                      last_metrics["accuracy"])
-            writer.write(done, loss=loss_v, examples_per_sec=rate * bs,
+            writer.write(done, loss=loss_v, examples_per_sec=rate * global_bs,
                          eval_auc=last_metrics["auc"],
                          eval_logloss=last_metrics["logloss"])
             ckpt.save(

@@ -159,12 +159,20 @@ def _event(step: int | None, summary: bytes | None,
 class EventWriter:
     """Append-only ``events.out.tfevents`` writer (TensorBoard-compatible)."""
 
+    #: process-wide monotone counter so two writers created in the same
+    #: directory within the same second (fast successive runs/tests) never
+    #: collide on one filename — TF's writer disambiguates with pid + a
+    #: uid counter the same way.
+    _uid = 0
+
     def __init__(self, logdir: str, filename_suffix: str = ""):
         os.makedirs(logdir, exist_ok=True)
+        EventWriter._uid += 1
         name = (f"events.out.tfevents.{int(time.time())}."
-                f"{socket.gethostname()}{filename_suffix}")
+                f"{socket.gethostname()}.{os.getpid()}.{EventWriter._uid}"
+                f"{filename_suffix}")
         self.path = os.path.join(logdir, name)
-        self._f = open(self.path, "ab")
+        self._f = open(self.path, "wb")
         self._write_record(_event(None, None, file_version="brain.Event:2"))
 
     def _write_record(self, payload: bytes) -> None:

@@ -43,14 +43,23 @@ import numpy as np
 
 log = logging.getLogger("recsys_tpu.converge")
 
-DEFAULT_MODELS = ("fm", "deepfm", "dcn", "xdeepfm", "dnn")
+#: "wide" trains with Adam (the hypothesis-class-saturation row: its job in
+#: the table is to show an additive model pinned AT the linear ceiling);
+#: "wide_ftrl" is the same model under its native FTRL-proximal optimizer
+#: (reference LinearClassifier parity) — FTRL sees batch-MEAN gradients
+#: here (the reference updates per example), so its per-coordinate adagrad
+#: scale converges slower at batch 16384; the row documents that honestly.
+DEFAULT_MODELS = ("wide", "wide_ftrl", "fm", "deepfm", "dcn", "xdeepfm",
+                  "dnn")
 EVAL_START_ROW = 1_000_000_000   # disjoint from every RESULTS/test slice
 
 #: per-model peak lr at batch 16384 (swept on v5e @ 50M examples:
 #: deepfm 1.5e-3→0.8535, 3e-3→0.8567, 6e-3→0.8573; xdeepfm 3e-3→0.8590,
-#: 6e-3→0.8597 — 6e-3 best and stable for every model)
+#: 6e-3→0.8597 — 6e-3 best and stable for every model). wide_ftrl alpha
+#: swept 0.05/0.2/1.0/4.0 at 30M examples: 4.0 best (0.7815) and still
+#: shy of the ceiling — see DEFAULT_MODELS note.
 PEAK_LR = {"fm": 6e-3, "deepfm": 6e-3, "dcn": 6e-3, "xdeepfm": 6e-3,
-           "dnn": 6e-3}
+           "dnn": 6e-3, "wide": 6e-3, "wide_ftrl": 4.0}
 
 
 def _sync(x) -> float:
@@ -72,9 +81,11 @@ def converge_ctr(name: str, *, examples: int, batch: int,
     from recsys_tpu.models.api import make_model
     from recsys_tpu.train import fast, metrics as M, optim, train_state as TS
 
+    use_ftrl = name == "wide_ftrl"
+    model_name = "wide" if use_ftrl else name
     criteo_cfg = CriteoConfig()
-    model_cfg = ModelConfig(name=name, dropout=dropout)
-    model = make_model(name, criteo_cfg, model_cfg)
+    model_cfg = ModelConfig(name=model_name, dropout=dropout)
+    model = make_model(model_name, criteo_cfg, model_cfg)
 
     # steps per dispatch; total rounds UP to a multiple so every call has
     # the same static k (a second k value would recompile the fused scan —
@@ -83,9 +94,18 @@ def converge_ctr(name: str, *, examples: int, batch: int,
     total_steps = -(-examples // (batch * k)) * k
     peak = lr if lr is not None else PEAK_LR.get(name, 3e-3)
     warmup = max(200, total_steps // 50)
-    schedule = optim.cosine_decay(peak, total_steps, warmup_steps=warmup)
+    if use_ftrl:
+        # wide's native optimizer (reference LinearClassifier default,
+        # deep&wide/deep&wide.py:146-149): per-coordinate adaptive lr,
+        # no external schedule (see DEFAULT_MODELS note on batch-mean
+        # gradient scaling)
+        opt = optim.ftrl(alpha=peak, l1=0.0, l2=0.0)
+        warmup = 0
+    else:
+        schedule = optim.cosine_decay(peak, total_steps, warmup_steps=warmup)
+        opt = optim.adam(schedule)
     ts, tx = TS.create_train_state(model, seed=seed, learning_rate=peak,
-                                  opt=optim.adam(schedule))
+                                  opt=opt)
 
     sampler = sd.make_device_sampler(criteo_cfg)
     tables = {k: jnp.asarray(v)
@@ -173,9 +193,12 @@ def main(argv: list[str]) -> None:
                                              start_row=EVAL_START_ROW)
     idonly = sd.idonly_bayes_metrics(eval_rows, cfg,
                                      start_row=EVAL_START_ROW)
-    log.info("bayes ceiling auc %.4f ll %.4f | id-only auc %.4f ll %.4f",
+    linear = sd.linear_bayes_metrics(eval_rows, cfg,
+                                     start_row=EVAL_START_ROW)
+    log.info("bayes ceiling auc %.4f ll %.4f | id-only auc %.4f ll %.4f | "
+             "linear auc %.4f ll %.4f",
              ceiling["auc"], ceiling["logloss"], idonly["auc"],
-             idonly["logloss"])
+             idonly["logloss"], linear["auc"], linear["logloss"])
 
     rows = []
     for name in models:
@@ -187,56 +210,86 @@ def main(argv: list[str]) -> None:
         "commit": commit, "examples": examples, "batch": batch,
         "eval_rows": eval_rows, "eval_start_row": EVAL_START_ROW,
         "bayes_ceiling": ceiling, "idonly_ceiling": idonly,
+        "linear_ceiling": linear,
         "models": rows,
     }
-    with open(os.path.splitext(out_path)[0] + ".json", "w") as f:
-        json.dump(result, f, indent=1)
 
-    # dense-consuming models target the full ceiling; id-only models the
-    # id-only one (see module docstring)
+    # attainable ceiling per hypothesis class: additive models → linear;
+    # id-consuming interaction models → id-only; dense-consuming → full
+    # (see synthetic_device.py module docstring)
     sees_dense = {"xdeepfm"}
+    additive = {"wide", "wide_ftrl"}
+    gap_full_lin = ceiling["auc"] - linear["auc"]
     lines = [
-        "# CONVERGENCE — trained quality vs the planted ceiling",
+        "# CONVERGENCE — trained quality vs the planted ceilings",
         "",
         f"Generated by `python -m recsys_tpu.tools.converge` at commit "
         f"`{commit}` "
         f"({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}).",
         "",
-        f"Protocol: one-pass online Adam on **{examples:,} fresh rows** of "
-        f"the planted synthetic-Criteo distribution, sampled on device every "
-        f"step (`data/synthetic_device.py`), batch {batch}, linear warmup + "
-        "cosine lr decay to 0, dropout "
-        f"{dropout}. Eval on a held-out {eval_rows:,}-row slice "
+        f"Protocol: one-pass online training on **{examples:,} fresh rows** "
+        f"of the planted **second-order** synthetic-Criteo distribution "
+        "(`data/criteo.py SyntheticSpec`: per-id first-order effects + "
+        "rank-4 all-pairs id-interaction latents + linear dense), sampled "
+        f"on device every step (`data/synthetic_device.py`), batch {batch}, "
+        "Adam with linear warmup + cosine decay to 0 (wide: native FTRL), "
+        f"dropout {dropout}. Eval on a held-out {eval_rows:,}-row slice "
         f"(start_row={EVAL_START_ROW:,}).",
         "",
-        f"Ceilings on this slice — **Bayes (full): AUC "
-        f"{ceiling['auc']:.4f} / logloss {ceiling['logloss']:.4f}**; "
-        f"**id-only: AUC {idonly['auc']:.4f} / logloss "
-        f"{idonly['logloss']:.4f}** (the dense term is independent noise "
-        "for models that consume only the 39 ids — every zoo model except "
-        "xDeepFM, whose linear branch reads the raw log-scaled continuous "
-        "values, xdeepfm/xdeepfm.py:82).",
+        "Three ceilings on this slice (`synthetic_device.py` docstring):",
+        "",
+        f"- **linear (additive)**: AUC {linear['auc']:.4f} / logloss "
+        f"{linear['logloss']:.4f} — best per-(field,id) additive model "
+        "(wide/LinearClassifier's hypothesis class, which reads no dense "
+        "input); provably cannot represent the planted pairwise term.",
+        f"- **id-only**: AUC {idonly['auc']:.4f} / logloss "
+        f"{idonly['logloss']:.4f} — E[y | ids], best for models consuming "
+        "only the 39 ids (fm, deepfm, dcn, dnn).",
+        f"- **Bayes (full)**: AUC {ceiling['auc']:.4f} / logloss "
+        f"{ceiling['logloss']:.4f} — true probabilities; needs the raw "
+        "dense values (only xDeepFM's linear branch reads them, "
+        "xdeepfm/xdeepfm.py:82).",
+        "",
+        f"**Interaction gap** (full − linear) = "
+        f"{gap_full_lin:.4f} AUC: the share of the task that additive "
+        "models cannot learn. `closure` below = (trained − linear) / "
+        "(full − linear) — how much of that gap each architecture "
+        "recovers; the analog of the reference's real-Criteo model "
+        "ordering (/root/reference/README.md:20-28).",
         "",
         "| model | AUC | logloss | ceiling | gap (AUC) | gap (logloss) | "
-        "peak lr | ex/s | train s |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "closure | peak lr | ex/s | train s |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        ceil = ceiling if r["model"] in sees_dense else idonly
-        which = "bayes" if r["model"] in sees_dense else "id-only"
+        if r["model"] in sees_dense:
+            ceil, which = ceiling, "bayes"
+        elif r["model"] in additive:
+            ceil, which = linear, "linear"
+        else:
+            ceil, which = idonly, "id-only"
+        closure = (r["auc"] - linear["auc"]) / max(gap_full_lin, 1e-9)
+        r["ceiling"] = which
+        r["gap_auc"] = ceil["auc"] - r["auc"]
+        r["closure"] = closure
         lines.append(
             f"| {r['model']} | {r['auc']:.4f} | {r['logloss']:.4f} "
             f"| {which} | {ceil['auc'] - r['auc']:+.4f} "
             f"| {r['logloss'] - ceil['logloss']:+.4f} "
+            f"| {closure:+.0%} "
             f"| {r['peak_lr']:g} | {r['train_examples_per_s']:,} "
             f"| {r['train_seconds']:.0f} |")
     lines += [
         "",
         "Gap (AUC) = attainable ceiling − trained AUC (smaller is better; "
         "negative would be eval-slice noise). Gap (logloss) = trained − "
-        "ceiling.",
+        "ceiling. closure ≈ 0% means the model learned only the additive "
+        "structure (expected for `wide`); 100% means it recovered the "
+        "full planted interaction term.",
         "",
     ]
+    with open(os.path.splitext(out_path)[0] + ".json", "w") as f:
+        json.dump(result, f, indent=1)
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     log.info("wrote %s", out_path)

@@ -12,8 +12,9 @@ SMALL = CriteoConfig(cat_vocabs=tuple([200] * 6))
 
 
 def test_planted_tables_match_host_generator():
-    """The uploaded effect tables are bit-identical to the host generator's
-    PRNG streams — both samplers share one ground truth."""
+    """The uploaded effect + interaction-latent tables are bit-identical to
+    the host generator's PRNG streams — both samplers share one ground
+    truth."""
     tabs = sd.planted_tables(SMALL)
     spec = criteo.SyntheticSpec()
     f = 7   # arbitrary field
@@ -22,7 +23,44 @@ def test_planted_tables_match_host_generator():
     lo = tabs["offsets"][f]
     np.testing.assert_allclose(
         tabs["effects"][lo:lo + len(expect)], expect, rtol=1e-6)
+    lat = np.random.default_rng([spec.seed, 31 * f + 2]).normal(
+        0.0, spec.interaction_scale,
+        (SMALL.field_vocab_sizes[f], spec.interaction_rank))
+    np.testing.assert_allclose(
+        tabs["latents"][lo:lo + len(lat)], lat, rtol=1e-6)
     assert tabs["w_dense"].shape == (13,)
+
+
+def test_host_and_device_logits_share_ground_truth():
+    """Same ids+dense ⇒ same planted logit on both samplers: recompute the
+    host generator's label probability from the device tables."""
+    import scipy.special as sp
+
+    spec = criteo.SyntheticSpec()
+    d = criteo.synthetic_criteo(4096, SMALL, start_row=123, _return_prob=True)
+    tabs = sd.planted_tables(SMALL)
+    gids = d["ids"].astype(np.int64) + tabs["offsets"][None, :]
+    logit = (spec.bias + tabs["effects"][gids].sum(axis=1)
+             + sd._pairwise_term(tabs["latents"], gids)
+             + d["dense"] @ tabs["w_dense"])
+    np.testing.assert_allclose(sp.expit(logit), d["_true_prob"],
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_second_order_task_ceiling_ordering():
+    """linear < id-only strictly (the interaction gap is real structure) and
+    the ANOVA additive oracle is tight enough to sit well above a
+    first-order-only scorer."""
+    full = criteo.synthetic_bayes_metrics(30_000, SMALL)
+    ido = sd.idonly_bayes_metrics(30_000, SMALL)
+    lin = sd.linear_bayes_metrics(30_000, SMALL)
+    assert lin["auc"] < ido["auc"] - 0.005, (lin["auc"], ido["auc"])
+    assert ido["auc"] <= full["auc"] + 1e-9
+    assert lin["logloss"] > ido["logloss"]
+    # zipf marginals are exact probabilities
+    p = sd.zipf_marginals(200)
+    assert abs(p.sum() - 1.0) < 1e-12 and (p >= 0).all()
+    assert p[0] > p[50] > p[150]
 
 
 def test_device_sampler_matches_host_marginals():

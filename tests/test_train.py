@@ -45,7 +45,10 @@ def test_deepfm_learns_and_resumes(tmp_path, caplog):
         "deepfm", SMALL, ModelConfig(embedding_dim=8, deep_layers=(32, 16))
     )
     cfg = TrainConfig(
-        batch_size=256, learning_rate=0.005, model_dir=str(tmp_path / "m"),
+        # lr 0.01: the planted task gained a second-order term (criteo.py
+        # SyntheticSpec) — at 60 tiny steps the first-order structure needs
+        # the faster rate to clear the floor
+        batch_size=256, learning_rate=0.01, model_dir=str(tmp_path / "m"),
         eval_every_steps=60, log_every_steps=30, save_checkpoints_steps=60,
         eval_steps=6,
     )

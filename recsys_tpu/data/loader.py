@@ -121,15 +121,30 @@ def device_prefetch(
     shardings: dict[str, jax.sharding.NamedSharding] = {}
     if axes_fn is None:
         axes_fn = lambda v: ["data"] + [None] * (v.ndim - 1)
+    multiproc = jax.process_count() > 1
+    local_mesh_shape = env.mesh.local_mesh.shape if multiproc else None
 
     def put(batch: dict[str, np.ndarray]) -> dict[str, jax.Array]:
         out = {}
         for k, v in batch.items():
+            axes = axes_fn(v)
             sh = shardings.get(k)
             if sh is None:
-                sh = env.spec(*axes_fn(v))
+                sh = env.spec(*axes)
                 shardings[k] = sh
-            out[k] = jax.device_put(v, sh)
+            if multiproc:
+                # each process stages its own slice of the global batch
+                # (its file shard); a dim sharded over a mesh axis spanning
+                # S processes is S× larger globally
+                gshape = list(v.shape)
+                for d, ax in enumerate(axes):
+                    if ax is not None:
+                        span = env.mesh.shape[ax] // local_mesh_shape[ax]
+                        gshape[d] *= span
+                out[k] = jax.make_array_from_process_local_data(
+                    sh, v, tuple(gshape))
+            else:
+                out[k] = jax.device_put(v, sh)
         return out
 
     q: queue.Queue = queue.Queue(maxsize=depth)

@@ -120,6 +120,31 @@ def place(tree, specs, env: MeshEnv):
     )
 
 
+def place_local_batch(tree, specs, env: MeshEnv):
+    """Place PROCESS-LOCAL batch arrays as global arrays.
+
+    Single-process: plain `place`. Multi-process (jax.distributed): each
+    process holds only its slice of the global batch (its file shard —
+    deepfm/deepfm.py:188-194's per-process TFRecord lists are the reference
+    analog), so the global array is assembled with
+    ``jax.make_array_from_process_local_data``; a dim sharded over a mesh
+    axis that spans P processes is P× larger globally."""
+    if jax.process_count() == 1:
+        return place(tree, specs, env)
+    local_shape = env.mesh.local_mesh.shape
+
+    def put(v, s):
+        gshape = list(v.shape)
+        for d, ax in enumerate(s):
+            if ax is not None:
+                span = env.mesh.shape[ax] // local_shape[ax]
+                gshape[d] *= span
+        return jax.make_array_from_process_local_data(
+            NamedSharding(env.mesh, s), v, tuple(gshape))
+
+    return jax.tree.map(put, tree, specs)
+
+
 class SpmdState(NamedTuple):
     params: Any
     model_state: Any
@@ -213,11 +238,16 @@ def make_spmd_train_step(
 def make_spmd_train_step_scanned(
     model: Model, opt: optim.Optimizer, env: MeshEnv,
     example_stack, a2a_exact: bool = False, unroll: int = 1,
-    a2a_cap_factor: float = 2.0,
+    a2a_cap_factor: float = 2.0, global_batch: int | None = None,
 ):
     """Scan-fused SPMD step: ``steps(SpmdState, stack[K, B, ...]) ->
     (SpmdState, mean_loss)`` — K optimizer steps per dispatch over the mesh
-    (the multi-chip analog of train.fast.make_scanned_train_step)."""
+    (the multi-chip analog of train.fast.make_scanned_train_step).
+
+    ``global_batch`` defaults to the example stack's batch dim; pass it
+    explicitly under multi-process jax.distributed, where the example
+    stack is process-local and the global batch is process_count× larger.
+    """
     params_tmpl, mstate_tmpl = jax.eval_shape(
         lambda k: model.init(k), jax.random.key(0)
     )
@@ -227,7 +257,8 @@ def make_spmd_train_step_scanned(
     stack_specs = jax.tree.map(
         lambda v: P(None, DATA_AXIS, *([None] * (v.ndim - 2))), example_stack
     )
-    global_batch = jax.tree.leaves(example_stack)[0].shape[1]
+    if global_batch is None:
+        global_batch = jax.tree.leaves(example_stack)[0].shape[1]
     emb_ops = make_sharded_emb_ops(exact=a2a_exact, cap_factor=a2a_cap_factor)
 
     def shard_fn(params, mstate, opt_state, step0, rng, stack):

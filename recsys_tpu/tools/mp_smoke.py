@@ -14,6 +14,14 @@ Run one worker per process:
 
 Prints one JSON line: {"ok": true, process/device counts, the psum result,
 and this worker's file shard} — asserted by tests/test_multiprocess.py.
+
+``--mode=stream`` runs the full streaming SPMD training path instead
+(reference analog: MirroredStrategy train_and_evaluate over per-process
+TFRecord lists, deepfm/deepfm.py:159-210): each process reads ITS
+host-shard of the synthetic npz shards through `ShardSource` →
+`device_prefetch` (process-local slices assembled into global arrays) →
+`train_and_evaluate_spmd_stream` over the global mesh, then reports final
+eval AUC. Extra flags: --data_dir --eval_dir --model_dir [--num_steps].
 """
 
 from __future__ import annotations
@@ -53,6 +61,9 @@ def main(argv: list[str] | None = None) -> dict:
     n_global = jax.device_count()
     assert n_global == num_processes * n_local
 
+    if kv.get("mode") == "stream":
+        return _stream_main(kv, jax, mesh_lib, n_global, process_id)
+
     # per-host input sharding: shards must be disjoint and covering
     files = [f"part-{i:02d}" for i in range(7)]
     my_files = mesh_lib.host_shard_of(files)
@@ -84,6 +95,59 @@ def main(argv: list[str] | None = None) -> dict:
         "psum": got,
         "expected": expect,
         "file_shard": my_files,
+    }
+    print(json.dumps(result))
+    return result
+
+
+
+def _stream_main(kv, jax, mesh_lib, n_global: int, process_id: int) -> dict:
+    """Streaming SPMD e2e under jax.distributed: file-sharded ShardSource →
+    device_prefetch (process-local → global arrays) → spmd stream driver →
+    final eval AUC above floor."""
+    import glob
+
+    from recsys_tpu.core.config import CriteoConfig, ModelConfig, TrainConfig
+    from recsys_tpu.data import loader
+    from recsys_tpu.models.api import make_model
+    from recsys_tpu.train import spmd_loop
+
+    small = CriteoConfig(cat_vocabs=tuple([200] * 6))
+    env = mesh_lib.make_mesh(
+        mesh_lib.MeshConfig(data_axis=n_global, model_axis=1))
+
+    paths = sorted(glob.glob(os.path.join(kv["data_dir"], "*.npz")))
+    eval_paths = sorted(glob.glob(os.path.join(kv["eval_dir"], "*.npz")))
+    my_paths = mesh_lib.host_shard_of(paths)
+    my_eval = mesh_lib.host_shard_of(eval_paths)
+
+    cfg = TrainConfig(
+        batch_size=128, learning_rate=0.005,
+        model_dir=os.path.join(kv["model_dir"], f"p{process_id}"),
+        eval_every_steps=10_000, eval_steps=8,
+    )
+    src = loader.ShardSource(my_paths, cfg.batch_size, seed=process_id,
+                             num_epochs=-1)
+
+    def eval_batches():
+        return loader.ShardSource(my_eval, cfg.batch_size, shuffle=False,
+                                  num_epochs=1)
+
+    model = make_model("deepfm", small,
+                       ModelConfig(embedding_dim=8, deep_layers=(16, 8)))
+    metrics = spmd_loop.train_and_evaluate_spmd_stream(
+        model, iter(src), eval_batches, cfg, env=env,
+        num_steps=int(kv.get("num_steps", 200)),
+    )
+    result = {
+        "ok": bool(metrics["auc"] > 0.58),
+        "mode": "stream",
+        "process_id": process_id,
+        "global_devices": n_global,
+        "auc": metrics["auc"],
+        "logloss": metrics["logloss"],
+        "steps_done": metrics["steps_done"],
+        "file_shard": [os.path.basename(p) for p in my_paths],
     }
     print(json.dumps(result))
     return result

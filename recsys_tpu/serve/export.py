@@ -83,7 +83,11 @@ class Servable:
     """
 
     def __init__(self, export_dir: str,
-                 buckets: tuple[int, ...] = DEFAULT_BUCKETS):
+                 buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+                 engine: str = "jit"):
+        """``engine``: 'jit' (default — XLA, the TPU/throughput path) or
+        'numpy' (straight-line NumPy/BLAS — the CPU latency path, no per-op
+        dispatch, no bucket padding; see serve/numpy_engine.py)."""
         with open(os.path.join(export_dir, "servable.json")) as f:
             meta = json.load(f)
         self.model_name = meta["model_name"]
@@ -112,6 +116,13 @@ class Servable:
         # aval signature, not just the bucket size, so requests with a
         # different feature layout never hit a mismatched executable.
         self._compiled: dict[tuple, object] = {}
+        self.engine = engine
+        self._np_predict = None
+        if engine == "numpy":
+            from recsys_tpu.serve.numpy_engine import NumpyPredictor
+            self._np_predict = NumpyPredictor(
+                self.model_name, self.criteo_cfg, model_cfg, self.model,
+                self.params, self.model_state)
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -126,6 +137,8 @@ class Servable:
 
     def predict(self, features: dict[str, np.ndarray]) -> np.ndarray:
         """features → probs [B] (the "prob" serving output)."""
+        if self._np_predict is not None:
+            return np.asarray(self._np_predict(features), np.float32)
         n = len(next(iter(features.values())))
         b = self._bucket(n)
         padded = {}
@@ -150,7 +163,10 @@ class Servable:
 
     def warmup(self) -> None:
         """Pre-compile all buckets (the reference's warm-up request,
-        grpc_client.py:61-67, generalized)."""
+        grpc_client.py:61-67, generalized). NumPy engine: nothing to
+        compile."""
+        if self._np_predict is not None:
+            return
         sample = self._sample_features(1)
         for b in self.buckets:
             feats = {k: np.repeat(v, b, axis=0) for k, v in sample.items()}

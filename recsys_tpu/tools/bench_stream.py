@@ -1,0 +1,245 @@
+"""End-to-end input-pipeline throughput: raw TSV → shards → device → train.
+
+The reference trains from disk through ``input_fn`` (TFRecordDataset → map
+parse → batch → shuffle → prefetch, deepfm/deepfm.py:60-70,188-202); every
+other throughput number in this repo (bench.py, RESULTS, CONVERGENCE) uses
+device-resident or device-sampled data. This tool measures the WHOLE
+disk→device chain, stage by stage, so the sustained streaming rate is
+attributable:
+
+  s0  synthetic raw-Criteo TSV writer                    (rows/s, disk)
+  s1  preprocess_tsv: parse+impute+log+bucket+hash+shard (rows/s, native)
+  s2  ShardSource epochs + [K,B] stacking, host only     (rows/s)
+  s3  host→device transfer of ready stacks               (rows/s, MB/s)
+  s4  full streaming training (ShardSource →
+      device_prefetch → scan-fused SPMD step)            (examples/s)
+  ref devgen fast path on the same model/batch           (examples/s)
+
+Writes STREAMING.md at the repo root (+ .json) with the stage table and the
+sustained-vs-devgen ratio. On a TUNNELED chip s3 is the hard cap — the
+tunnel moves each stack over the wire; the table shows exactly where the
+pipeline saturates on local-host TPU vs this environment.
+
+Usage:
+    python -m recsys_tpu.tools.bench_stream [--rows=2000000] [--batch=16384]
+        [--steps_per_call=10] [--train_steps=400] [--workdir=...]
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("recsys_tpu.bench_stream")
+
+
+def write_synthetic_tsv(path: str, rows: int, seed: int = 0,
+                        chunk: int = 200_000) -> float:
+    """Raw-Criteo-format TSV (label \\t 13 ints w/ ~20% missing \\t 26 hex
+    cats w/ ~10% missing) — format-valid load for the parse stage; returns
+    rows/s."""
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    with open(path, "w") as f:
+        for lo in range(0, rows, chunk):
+            n = min(chunk, rows - lo)
+            label = rng.integers(0, 2, n)
+            cont = rng.integers(0, 1000, (n, 13))
+            cont_miss = rng.random((n, 13)) < 0.2
+            cats = rng.integers(0, 1 << 32, (n, 26), dtype=np.uint64)
+            cat_miss = rng.random((n, 26)) < 0.1
+            lines = []
+            for i in range(n):
+                cols = [str(label[i])]
+                cols += ["" if cont_miss[i, j] else str(cont[i, j])
+                         for j in range(13)]
+                cols += ["" if cat_miss[i, j] else f"{cats[i, j]:08x}"
+                         for j in range(26)]
+                lines.append("\t".join(cols))
+            f.write("\n".join(lines) + "\n")
+    return rows / (time.perf_counter() - t0)
+
+
+def main(argv: list[str] | None = None) -> dict:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    argv = argv if argv is not None else sys.argv[1:]
+    kv = dict(a.lstrip("-").split("=", 1) for a in argv if "=" in a)
+    rows = int(float(kv.get("rows", 2e6)))
+    batch = int(kv.get("batch", 16384))
+    k = int(kv.get("steps_per_call", 10))
+    train_steps = int(kv.get("train_steps", 400))
+    workdir = kv.get("workdir", "/tmp/recsys_stream_bench")
+    os.makedirs(workdir, exist_ok=True)
+
+    import jax
+
+    from recsys_tpu.core.config import CriteoConfig, ModelConfig, TrainConfig
+    from recsys_tpu.core.mesh import MeshConfig, make_mesh
+    from recsys_tpu.data import criteo, loader, native
+    from recsys_tpu.models.api import make_model
+    from recsys_tpu.train import spmd_loop
+
+    cfg = CriteoConfig()
+    result: dict = {"rows": rows, "batch": batch,
+                    "native_parser": native.available(),
+                    "backend": jax.default_backend()}
+
+    # s0 — TSV writer
+    tsv = os.path.join(workdir, "day_synth.tsv")
+    if not (os.path.exists(tsv)
+            and sum(1 for _ in open(tsv)) == rows):
+        log.info("s0: writing %d-row synthetic TSV ...", rows)
+        result["s0_tsv_write_rows_per_s"] = round(
+            write_synthetic_tsv(tsv, rows))
+    else:
+        log.info("s0: reusing existing TSV")
+
+    # s1 — offline preprocess (the L0 replacement, native parse fast path)
+    shard_dir = os.path.join(workdir, "shards")
+    t0 = time.perf_counter()
+    paths = criteo.preprocess_tsv(tsv, shard_dir, cfg,
+                                  rows_per_shard=200_000)
+    s1 = rows / (time.perf_counter() - t0)
+    result["s1_preprocess_rows_per_s"] = round(s1)
+    log.info("s1: preprocess %d rows -> %d shards at %.0f rows/s",
+             rows, len(paths), s1)
+
+    # s2 — host-only epoch iteration + stacking
+    src = loader.ShardSource(paths, batch, seed=0, num_epochs=-1)
+    it = spmd_loop._stack_iter(iter(src), k)
+    next(it)   # warm the shard cache
+    t0 = time.perf_counter()
+    n_stacks = max(1, (rows // (batch * k)))
+    for _ in range(n_stacks):
+        next(it)
+    s2 = n_stacks * batch * k / (time.perf_counter() - t0)
+    result["s2_host_pipeline_rows_per_s"] = round(s2)
+    log.info("s2: host pipeline %.0f rows/s", s2)
+
+    # s3 — H2D of ready stacks (the tunnel/PCIe cap)
+    env = make_mesh(MeshConfig(data_axis=jax.device_count(), model_axis=1))
+    stack = next(it)
+    nbytes = sum(v.nbytes for v in stack.values())
+    put = lambda: jax.block_until_ready(jax.device_put(
+        stack, env.spec(None, "data")))
+    put()
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        put()
+    dt = time.perf_counter() - t0
+    s3 = reps * batch * k / dt
+    result["s3_h2d_rows_per_s"] = round(s3)
+    result["s3_h2d_mb_per_s"] = round(reps * nbytes / dt / 1e6, 1)
+    log.info("s3: H2D %.0f rows/s (%.0f MB/s, %.1f MB/stack)", s3,
+             result["s3_h2d_mb_per_s"], nbytes / 1e6)
+
+    # s4 — full streaming training (the real driver, fresh source)
+    model = make_model("deepfm", cfg,
+                       ModelConfig(embedding_dim=16, deep_layers=(100, 100)))
+    tcfg = TrainConfig(batch_size=batch, learning_rate=3e-3,
+                       model_dir=os.path.join(workdir, "model"),
+                       eval_every_steps=10 ** 9, eval_steps=1)
+    src4 = loader.ShardSource(paths, batch, seed=1, num_epochs=-1)
+
+    def eval_batches():
+        return loader.ShardSource(paths[:1], batch, shuffle=False,
+                                  num_epochs=1)
+
+    t0 = time.perf_counter()
+    metrics = spmd_loop.train_and_evaluate_spmd_stream(
+        model, iter(src4), eval_batches, tcfg, env=env,
+        num_steps=train_steps, steps_per_call=k, resume=False)
+    # training wall time excludes the final eval the driver appends
+    s4 = metrics["steps_done"] * batch / metrics["train_seconds"]
+    result["s4_stream_train_examples_per_s"] = round(s4)
+    log.info("s4: streaming train %.0f ex/s over %d steps", s4,
+             metrics["steps_done"])
+
+    # ref — devgen fast path (bench.py's measurement, same model/batch)
+    from recsys_tpu.train import fast, train_state as TS
+    model_ref = make_model(
+        "deepfm", cfg, ModelConfig(embedding_dim=16,
+                                   deep_layers=(100, 100)))
+    ts, tx = TS.create_train_state(model_ref, seed=0, learning_rate=3e-3)
+    data = criteo.synthetic_criteo(max(4 * batch, 65536), cfg)
+    staged = fast.stage_dataset(data)
+    step_fn = fast.make_scanned_train_step_devgen(
+        model_ref, tx, len(data["label"]), batch)
+    ts, loss = step_fn(ts, staged, 50)
+    float(np.asarray(loss))
+    t0 = time.perf_counter()
+    calls = 4
+    for _ in range(calls):
+        ts, loss = step_fn(ts, staged, 50)
+    float(np.asarray(loss))
+    ref = calls * 50 * batch / (time.perf_counter() - t0)
+    result["devgen_examples_per_s"] = round(ref)
+    result["stream_vs_devgen"] = round(s4 / ref, 3)
+    log.info("devgen %.0f ex/s — streaming reaches %.0f%% of it", ref,
+             100 * s4 / ref)
+
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                capture_output=True, text=True).stdout.strip()
+    except Exception:
+        commit = "?"
+    result["commit"] = commit
+
+    lines = [
+        "# STREAMING — disk→device input-pipeline throughput",
+        "",
+        f"Generated by `python -m recsys_tpu.tools.bench_stream` at commit "
+        f"`{commit}` "
+        f"({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}), "
+        f"{rows:,} rows, batch {batch}, backend {result['backend']}, "
+        f"native parser {result['native_parser']}.",
+        "",
+        "Reference analog: estimator input_fn TFRecord chain "
+        "(deepfm/deepfm.py:60-70,188-202). Stages are cumulative-capacity "
+        "measurements: the sustained streaming rate (s4) is capped by the "
+        "slowest of s2 (host pipeline) and s3 (host→device link), and the "
+        "devgen row is the same training step with device-resident data — "
+        "the compute-only ceiling.",
+        "",
+        "| stage | what | rate |",
+        "|---|---|---|",
+    ]
+    if "s0_tsv_write_rows_per_s" in result:
+        lines.append(f"| s0 | synthetic raw TSV writer | "
+                     f"{result['s0_tsv_write_rows_per_s']:,} rows/s |")
+    lines += [
+        f"| s1 | preprocess_tsv (parse+impute+log+bucket+hash+shard, "
+        f"native={result['native_parser']}) | "
+        f"{result['s1_preprocess_rows_per_s']:,} rows/s |",
+        f"| s2 | ShardSource epochs + [K,B] stacking (host only) | "
+        f"{result['s2_host_pipeline_rows_per_s']:,} rows/s |",
+        f"| s3 | host→device stack transfer | "
+        f"{result['s3_h2d_rows_per_s']:,} rows/s "
+        f"({result['s3_h2d_mb_per_s']} MB/s) |",
+        f"| s4 | **full streaming training** (ShardSource → "
+        f"device_prefetch → fused SPMD step) | "
+        f"**{result['s4_stream_train_examples_per_s']:,} ex/s** |",
+        f"| ref | devgen fast path (device-resident, bench.py) | "
+        f"{result['devgen_examples_per_s']:,} ex/s |",
+        "",
+        f"Streaming sustains **{100 * result['stream_vs_devgen']:.0f}%** "
+        "of the devgen rate.",
+        "",
+    ]
+    with open("STREAMING.md", "w") as f:
+        f.write("\n".join(lines))
+    with open("STREAMING.json", "w") as f:
+        json.dump(result, f, indent=1)
+    log.info("wrote STREAMING.md")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -221,21 +221,24 @@ def bench_cf(seed: int = 0, workdir: str | None = None) -> list[dict]:
 
 
 def _bench_cpu_serving(export_dir: str, model_tag: str,
-                       sample_fn, auc_rows: int = 0) -> list[dict]:
+                       sample_fn, auc_rows: int = 0,
+                       engine: str = "jit") -> list[dict]:
     """Latency-mode serving: spawn `train_ctr serve --device=cpu` (its own
     process so this process's TPU backend is untouched) and measure
     p50/p99 — the apples-to-apples rows against the reference's CPU
     TF-Serving numbers (deepfm/readme.md:64-73). ``sample_fn(n)`` yields a
     feature batch + labels; ``auc_rows>0`` adds a served-AUC check over
     that many rows (batched at 512 — large enough that the AUC is not
-    small-sample noise)."""
+    small-sample noise). ``engine='numpy'`` serves through the NumPy
+    latency engine (serve/numpy_engine.py) and tags its rows."""
     from recsys_tpu.serve import client as C
     from recsys_tpu.serve.fastsock import SocketClient
 
+    tag = "" if engine == "jit" else f" ({engine})"
     proc = subprocess.Popen(
         [sys.executable, "-m", "recsys_tpu.tools.train_ctr", "serve",
          f"--export_dir={export_dir}", "--port=0", "--device=cpu",
-         "--buckets=200,256,500,512"],
+         f"--engine={engine}", "--buckets=200,256,500,512"],
         stderr=subprocess.PIPE, text=True)
     port = None
     try:
@@ -254,7 +257,7 @@ def _bench_cpu_serving(export_dir: str, model_tag: str,
                 lambda f: C.rest_predict(port, f), data, None,
                 warmup=3, iters=50)
             rows.append({**stats, "batch": n, "device": "cpu",
-                         "model": model_tag, "protocol": "rest+encode"})
+                         "model": model_tag, "protocol": "rest+encode" + tag})
             # reference-parity gRPC: request pre-built before timing
             # (grpc_client.py:41-54 builds Examples outside the clock)
             body = C.prepare_body(data, binary=True)
@@ -262,19 +265,19 @@ def _bench_cpu_serving(export_dir: str, model_tag: str,
                 lambda _: C.grpc_send(stub, body), data, None,
                 warmup=3, iters=50)
             rows.append({**stats, "batch": n, "device": "cpu",
-                         "model": model_tag, "protocol": "grpc prepared"})
+                         "model": model_tag, "protocol": "grpc prepared" + tag})
             # framework fast paths: persistent socket, NPZ1 and RAW1 bodies
             sc = SocketClient(port + 2)
             stats = C.benchmark_serving(
                 lambda _: sc.send(body), data, None, warmup=3, iters=50)
             rows.append({**stats, "batch": n, "device": "cpu",
-                         "model": model_tag, "protocol": "socket npz"})
+                         "model": model_tag, "protocol": "socket npz" + tag})
             raw_body = C.prepare_body(data, fmt="raw")
             stats = C.benchmark_serving(
                 lambda _: sc.send(raw_body), data, None, warmup=5, iters=100)
             sc.close()
             rows.append({**stats, "batch": n, "device": "cpu",
-                         "model": model_tag, "protocol": "socket raw"})
+                         "model": model_tag, "protocol": "socket raw" + tag})
             log.info("cpu serving %s batch %d: %s", model_tag, n, rows[-4:])
         if auc_rows:
             # served-AUC sanity over a slice big enough to be meaningful
@@ -374,6 +377,10 @@ def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
 
     rows += _bench_cpu_serving(d, "deepfm-criteo", criteo_sample,
                                auc_rows=25600)
+    # NumPy latency engine (serve/numpy_engine.py): same servable, zero
+    # XLA per-op dispatch — the CPU latency mode
+    rows += _bench_cpu_serving(d, "deepfm-criteo", criteo_sample,
+                               engine="numpy")
 
     # demo-schema servable (the reference's serving workload)
     schema = demo.demo_schema()
@@ -392,6 +399,8 @@ def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
         return data, labels
 
     rows += _bench_cpu_serving(dd, "deepfm-demo", demo_sample)
+    rows += _bench_cpu_serving(dd, "deepfm-demo", demo_sample,
+                               engine="numpy")
     return rows
 
 

@@ -62,8 +62,19 @@ def main(argv: list[str] | None = None) -> dict:
 
         buckets = (tuple(int(b) for b in kv["buckets"].split(","))
                    if "buckets" in kv else DEFAULT_BUCKETS)
-        sv = Servable(kv["export_dir"], buckets=buckets)
+        # --engine=numpy: straight-line NumPy/BLAS inference (the CPU
+        # latency path, serve/numpy_engine.py) — no XLA per-op dispatch,
+        # no bucket padding, instant warmup
+        sv = Servable(kv["export_dir"], buckets=buckets,
+                      engine=kv.get("engine", "jit"))
         sv.warmup()
+        # after warmup the long-lived objects (tables, executables) are
+        # final: collect once and freeze them out of future GC scans —
+        # gen-2 collections over the big param arrays were multi-ms pauses
+        # showing up as 40× p99/p50 tail blowups in the serving benchmarks
+        import gc
+        gc.collect()
+        gc.freeze()
         port = int(kv.get("port", 8500))
         rest, batcher = make_rest_server(sv, port)
         port = rest.server_address[1]  # resolves --port=0 to the bound port

@@ -23,12 +23,17 @@ backward is the Pallas sorted-segment scatter (`table_gather`).
 - *big fields* (the hash-capped 100k vocabs) keep the packed gather +
   Pallas-scatter path.
 
-**Flat table storage**: big tables are stored as 1-D ``[V·(D+1)]`` arrays
-and reshaped to [V, D+1] only at the gather. A 2-D f32[V,17] array is tiled
-T(8,128) on TPU — 17 of 128 lanes used — so every whole-table elementwise
-pass (the Adam update reads/writes p/mu/nu 7×) pays 7.5× physical HBM
-traffic; storing flat cut the optimizer fusion from 4.5 ms to <1 ms per step
-at batch 8192.
+**W-major table storage**: big tables are stored TRANSPOSED, ``[D+1,
+V_pad]``, so the vocab dimension rides the dense 128-lane axis. A row-major
+f32[V,17] array tiles T(8,128) with 17 of 128 lanes used (7.5× physical HBM
+bytes on every whole-table pass), and the earlier flat-1-D storage fixed
+the Adam passes but re-paid the padding at the gather: the per-step
+flat→[V,17] reshape + layout copy materialized ~430 MB twice per step
+(~2.5 ms at batch 16384, tools/profile_step.py). [D+1, V_pad] pads only
+17→24 sublanes (1.4×), is bitcast-identical to the gather's preferred
+[V, W]{0,1} operand layout (zero forward copies), and the backward Pallas
+scatter writes its gradient directly in this layout
+(pallas_kernels.sorted_segment_scatter_T).
 
 Engine interface (used by models/ctr.py):
     engine.init(key)                -> params subtree (plain arrays)
@@ -78,6 +83,11 @@ class EmbParts(NamedTuple):
     emb_sum: jax.Array
     emb_sq_sum: jax.Array
     field_order: np.ndarray
+    #: the engine-order [B, F_part·D] pieces BEFORE concatenation (small,
+    #: big). Models whose only use of emb_2d is a dense layer feed these
+    #: through ops.nn.dense's list form instead — the concat (and its
+    #: cotangent split) then dead-code-eliminates out of the step
+    emb_parts: tuple | None = None
 
     def emb_3d(self, num_fields: int, dim: int) -> jax.Array:
         """[B, F, D] in engine order — only for models that genuinely need
@@ -105,6 +115,37 @@ def _matmul_dtype():
     """bf16 one-hot matmuls ride the MXU at full rate on TPU; f32 on CPU,
     whose dot thunk lacks BF16xBF16=F32 (tests run there)."""
     return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
+def _field_sums(x2d: jax.Array, f: int, d: int):
+    """(Σ_f e_f, Σ_f e_f²) [B, D] from field-major flat [B, F·D] — computed
+    as two [B, F·D] @ [F·D, D] matmuls against a stacked-identity constant.
+    The reshape-to-[B, F, D]-and-reduce formulation materializes a
+    lane-padded (D→128) 3-D intermediate and its cotangent each step; the
+    matmul form never leaves the dense 2-D layout."""
+    s_mat = jnp.tile(jnp.eye(d, dtype=x2d.dtype), (f, 1))   # [F·D, D]
+    return (
+        jnp.dot(x2d, s_mat, preferred_element_type=jnp.float32),
+        jnp.dot(jnp.square(x2d), s_mat, preferred_element_type=jnp.float32),
+    )
+
+
+def _multi_hot(sub: jax.Array, sizes: tuple[int, ...]) -> jax.Array:
+    """[B, Fs] field-LOCAL ids → multi-hot [B, Σ sizes] (one hit per field).
+
+    Built per field against a ``size_f``-wide iota then concatenated: total
+    VPU compares = B·Σ_f v_f. The previous formulation compared every field
+    against the full Σv_f-wide iota (B·Fs·Σv_f compares — 25× more at the
+    Criteo schema); XLA fused that producer chain into the downstream
+    matmul and the one-hot build dominated the small-field path
+    (~0.7 ms/step of the 0.76 ms fusion at batch 16384,
+    tools/profile_step.py)."""
+    dt = _matmul_dtype()
+    parts = []
+    for f, v in enumerate(sizes):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
+        parts.append((sub[:, f][:, None] == iota).astype(dt))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
 @dataclass(frozen=True)
@@ -211,8 +252,12 @@ class SplitEngine:
         if big:
             b_cfg = EmbeddingConfig(field_vocab_sizes=self._sizes(big),
                                     embedding_dim=self.cfg.embedding_dim)
-            params["big_flat"] = emb_table.fused_init(
-                k2, b_cfg)["table"].reshape(-1)
+            # W-major [W, V_pad]: V rides the dense lane dimension (1.4x
+            # sublane pad vs 7.5x lane pad for [V, W]) and the layout is
+            # already what the gather wants — see pallas_kernels.py
+            # "W-major table path"
+            params["big_wm"] = emb_table.fused_init(
+                k2, b_cfg)["table"].T
         params["b"] = jnp.zeros((), jnp.float32)
         return params
 
@@ -227,13 +272,10 @@ class SplitEngine:
             rows_fn = self._small_rows if train else self._small_rows_gather
             outs.append(rows_fn(params["small"], ids, small))
         if big:
-            b_sizes = self._sizes(big)
-            offsets = emb_table.field_offsets(b_sizes)
-            gids = ids[:, np.asarray(big, np.int32)] + \
-                jnp.asarray(offsets)[None, :]
-            v_pad = emb_table.pad_rows(sum(b_sizes))
-            outs.append(emb_table.table_gather_flat(params["big_flat"], gids,
-                                                    v_pad, w))
+            gids = self._big_gids(ids, big)
+            rows = emb_table.table_gather_wm(params["big_wm"],
+                                             gids.reshape(-1))
+            outs.append(rows.reshape(*gids.shape, w))
         rows = jnp.concatenate(outs, axis=1)
         # restore original field order (static inverse permutation)
         inv = np.argsort(np.asarray(small + big))
@@ -243,7 +285,8 @@ class SplitEngine:
     def lookup_sharded(self, params, ids, axis_name: str = "model",
                        exact: bool = False, cap_factor: float = 2.0):
         """Inside shard_map: 'small' is replicated (every member runs the
-        same tiny matmul), 'big_flat' is this member's row shard, fetched
+        same tiny matmul), 'big_wm' is this member's shard ([W, V/m],
+        W-major), fetched
         via dedup + all-to-all."""
         from recsys_tpu.parallel import sharded_embedding as SE
 
@@ -253,11 +296,9 @@ class SplitEngine:
         if small:
             outs.append(self._small_rows(params["small"], ids, small))
         if big:
-            b_sizes = self._sizes(big)
-            offsets = emb_table.field_offsets(b_sizes)
-            gids = ids[:, np.asarray(big, np.int32)] + \
-                jnp.asarray(offsets)[None, :]
-            local = params["big_flat"].reshape(-1, w)
+            gids = self._big_gids(ids, big)
+            # member's shard is [W, V/m]; the a2a path consumes row-major
+            local = params["big_wm"].T
             outs.append(SE.a2a_embedding_lookup(local, gids, axis_name,
                                                 exact=exact,
                                                 cap_factor=cap_factor))
@@ -303,15 +344,8 @@ class SplitEngine:
             rows = self._small_rows_gather(table, ids, small_fields)
             emb = rows[:, :, :d]
             return emb.reshape(ids.shape[0], fs * d), rows[:, :, d]
-        offsets = emb_table.field_offsets(sizes)
         sub = ids[:, np.asarray(small_fields, np.int32)]
-        gids = sub + jnp.asarray(offsets)[None, :]
-
-        dt = _matmul_dtype()
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, vs), 1)
-        oh = jnp.zeros((ids.shape[0], vs), dt)
-        for f in range(fs):
-            oh = oh + (gids[:, f][:, None] == iota).astype(dt)
+        oh = _multi_hot(sub, sizes)
 
         wblk = jnp.zeros((vs, fs * d + fs), table.dtype)
         lo = 0
@@ -321,18 +355,38 @@ class SplitEngine:
             wblk = jax.lax.dynamic_update_slice(
                 wblk, table[lo:lo + v, d:d + 1], (lo, fs * d + f))
             lo += v
-        out = jnp.dot(oh, wblk.astype(dt),
+        out = jnp.dot(oh, wblk.astype(oh.dtype),
                       preferred_element_type=jnp.float32)   # [B, Fs·D+Fs]
         return out[:, :fs * d], out[:, fs * d:]
 
-    def _big_rows(self, params, ids, big_fields):
+    def _big_gids(self, ids, big_fields):
         b_sizes = self._sizes(big_fields)
         offsets = emb_table.field_offsets(b_sizes)
-        gids = ids[:, np.asarray(big_fields, np.int32)] + \
+        return ids[:, np.asarray(big_fields, np.int32)] + \
             jnp.asarray(offsets)[None, :]
-        v_pad = emb_table.pad_rows(sum(b_sizes))
-        return emb_table.table_gather_flat(params["big_flat"], gids,
-                                           v_pad, self.width)
+
+    def _big_parts(self, params, ids, big_fields):
+        """(emb_2d [B, Fb·D], wide [B, Fb]) straight from the W-major
+        gather: rows come back [B·Fb, W], reshape to [B, Fb·W] (dense
+        lanes), then ONE selector matmul de-interleaves emb and wide
+        columns — the [B, Fb, W] lane-padded row tensor never
+        materializes, and the backward is a plain matmul (slice-based
+        splits made XLA fuse two interior-pad transpose chains into one
+        kernel that SIGABRTs the TPU compiler at batch ≥16k)."""
+        d, w = self.cfg.embedding_dim, self.width
+        gids = self._big_gids(ids, big_fields)
+        b, fb = gids.shape
+        rows = emb_table.table_gather_wm(params["big_wm"],
+                                         gids.reshape(-1))    # [B·Fb, W]
+        rows2 = rows.reshape(b, fb * w)
+        sel = np.zeros((fb * w, fb * d + fb), np.float32)
+        for f in range(fb):
+            for j in range(d):
+                sel[f * w + j, f * d + j] = 1.0
+            sel[f * w + d, fb * d + f] = 1.0
+        out = jnp.dot(rows2, jnp.asarray(sel),
+                      preferred_element_type=jnp.float32)     # [B, FbD+Fb]
+        return out[:, :fb * d], out[:, fb * d:]
 
     def lookup_parts(self, params, ids, train: bool = True) -> EmbParts:
         """The layout-friendly lookup (see EmbParts): small fields stay 2-D
@@ -349,16 +403,16 @@ class SplitEngine:
                                                train)
             emb2_parts.append(s_emb2)
             wide_parts.append(s_wide)
-            s3 = s_emb2.reshape(b, len(small), d)
-            emb_sum = emb_sum + jnp.sum(s3, axis=1)
-            emb_sq_sum = emb_sq_sum + jnp.sum(jnp.square(s3), axis=1)
+            s_sum, s_sq = _field_sums(s_emb2, len(small), d)
+            emb_sum = emb_sum + s_sum
+            emb_sq_sum = emb_sq_sum + s_sq
         if big:
-            rows = self._big_rows(params, ids, big)        # [B, Fb, D+1]
-            bemb = rows[:, :, :d]
-            emb2_parts.append(bemb.reshape(b, len(big) * d))
-            wide_parts.append(rows[:, :, d])
-            emb_sum = emb_sum + jnp.sum(bemb, axis=1)
-            emb_sq_sum = emb_sq_sum + jnp.sum(jnp.square(bemb), axis=1)
+            bemb2, bwide = self._big_parts(params, ids, big)
+            emb2_parts.append(bemb2)
+            wide_parts.append(bwide)
+            b_sum, b_sq = _field_sums(bemb2, len(big), d)
+            emb_sum = emb_sum + b_sum
+            emb_sq_sum = emb_sq_sum + b_sq
         return EmbParts(
             emb_2d=(emb2_parts[0] if len(emb2_parts) == 1
                     else jnp.concatenate(emb2_parts, axis=1)),
@@ -367,6 +421,7 @@ class SplitEngine:
             emb_sum=emb_sum,
             emb_sq_sum=emb_sq_sum,
             field_order=self.field_order,
+            emb_parts=tuple(emb2_parts),
         )
 
     def lookup_parts_sharded(self, params, ids, axis_name: str = "model",
@@ -388,23 +443,22 @@ class SplitEngine:
                                                train=True)
             emb2_parts.append(s_emb2)
             wide_parts.append(s_wide)
-            s3 = s_emb2.reshape(b, len(small), d)
-            emb_sum = emb_sum + jnp.sum(s3, axis=1)
-            emb_sq_sum = emb_sq_sum + jnp.sum(jnp.square(s3), axis=1)
+            s_sum, s_sq = _field_sums(s_emb2, len(small), d)
+            emb_sum = emb_sum + s_sum
+            emb_sq_sum = emb_sq_sum + s_sq
         if big:
-            b_sizes = self._sizes(big)
-            offsets = emb_table.field_offsets(b_sizes)
-            gids = ids[:, np.asarray(big, np.int32)] + \
-                jnp.asarray(offsets)[None, :]
-            local = params["big_flat"].reshape(-1, self.width)
+            gids = self._big_gids(ids, big)
+            local = params["big_wm"].T     # member's [W, V/m] shard
             rows = SE.a2a_embedding_lookup(local, gids, axis_name,
                                            exact=exact,
                                            cap_factor=cap_factor)
             bemb = rows[:, :, :d]
-            emb2_parts.append(bemb.reshape(b, len(big) * d))
+            bemb2 = bemb.reshape(b, len(big) * d)
+            emb2_parts.append(bemb2)
             wide_parts.append(rows[:, :, d])
-            emb_sum = emb_sum + jnp.sum(bemb, axis=1)
-            emb_sq_sum = emb_sq_sum + jnp.sum(jnp.square(bemb), axis=1)
+            b_sum, b_sq = _field_sums(bemb2, len(big), d)
+            emb_sum = emb_sum + b_sum
+            emb_sq_sum = emb_sq_sum + b_sq
         return EmbParts(
             emb_2d=(emb2_parts[0] if len(emb2_parts) == 1
                     else jnp.concatenate(emb2_parts, axis=1)),
@@ -413,6 +467,7 @@ class SplitEngine:
             emb_sum=emb_sum,
             emb_sq_sum=emb_sq_sum,
             field_order=self.field_order,
+            emb_parts=tuple(emb2_parts),
         )
 
     def _small_rows_gather(self, table, ids, small_fields):
@@ -428,17 +483,8 @@ class SplitEngine:
         sizes = self._sizes(small_fields)
         fs, w = len(sizes), self.width
         vs = int(sum(sizes))
-        offsets = emb_table.field_offsets(sizes)          # [Fs]
         sub = ids[:, np.asarray(small_fields, np.int32)]  # [B, Fs] local ids
-        gids = sub + jnp.asarray(offsets)[None, :]        # [B, Fs] in [0, Vs)
-
-        dt = _matmul_dtype()
-        # multi-hot [B, Vs]: exactly one hit per field (disjoint ranges) —
-        # Σ_f (gids[:, f] == v), fused by XLA into one pass over the output.
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, vs), 1)
-        oh = jnp.zeros((ids.shape[0], vs), dt)
-        for f in range(fs):
-            oh = oh + (gids[:, f][:, None] == iota).astype(dt)
+        oh = _multi_hot(sub, sizes)
 
         # block-diagonal weight [Vs, Fs·W]: field f's vocab rows sit in
         # output block f, so oh @ wblk routes each id to its field's slot.
@@ -449,7 +495,7 @@ class SplitEngine:
                 wblk, table[lo:lo + v], (lo, f * w))
             lo += v
 
-        out = jnp.dot(oh, wblk.astype(dt),
+        out = jnp.dot(oh, wblk.astype(oh.dtype),
                       preferred_element_type=jnp.float32)  # [B, Fs·W]
         return out.reshape(ids.shape[0], fs, w)
 

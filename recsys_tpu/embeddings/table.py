@@ -123,6 +123,17 @@ def table_gather(table: jax.Array, gids: jax.Array) -> jax.Array:
     return jnp.take(table, gids, axis=0)
 
 
+def table_gather_wm(table_wm: jax.Array, gids: jax.Array) -> jax.Array:
+    """W-major-table row gather: [W, V_pad] storage + flat [N] ids →
+    [N, W] rows. The storage layout IS the gather-preferred operand layout
+    ([V, W]{0,1} ≡ [W, V]{1,0}), so the forward needs no table copy; the
+    TPU backward is the transposed Pallas scatter whose gradient lands in
+    the storage layout (ops/pallas_kernels.py 'W-major table path')."""
+    if jax.default_backend() == "tpu":
+        return pk.embedding_lookup_wm_vjp(table_wm, gids)
+    return jnp.take(table_wm.T, gids, axis=0)
+
+
 def table_gather_flat(table_flat: jax.Array, gids: jax.Array,
                       num_rows: int, width: int) -> jax.Array:
     """`table_gather` for flat-stored tables: gradients leave the backward

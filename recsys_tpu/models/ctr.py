@@ -169,8 +169,12 @@ def make_deepfm(criteo: CriteoConfig = CriteoConfig(),
         )
         y_2d = interactions.fm_pairwise_from_sums(
             parts.emb_sum, parts.emb_sq_sum)
+        # first dense consumes the engine parts directly (nn.dense list
+        # form) — the emb_2d concat dead-code-eliminates from this model
+        mlp_in = parts.emb_parts if parts.emb_parts is not None \
+            else parts.emb_2d
         h, dnn_s = nn.mlp_apply(
-            params["dnn"], state["dnn"], parts.emb_2d,
+            params["dnn"], state["dnn"], mlp_in,
             train=train, dropout_rate=cfg.dropout, rng=rng,
         )
         y_dnn = nn.dense(params["dnn_out"], h, activation=jax.nn.relu)
@@ -320,8 +324,10 @@ def make_dnn(criteo: CriteoConfig = CriteoConfig(),
     def apply(params, state, batch, *, train=False, rng=None,
               emb_ops: EmbOps = LOCAL_EMB_OPS):
         parts = base.lookup_parts(params, batch, emb_ops, train=train)
+        mlp_in = parts.emb_parts if parts.emb_parts is not None \
+            else parts.emb_2d
         h, dnn_s = nn.mlp_apply(
-            params["dnn"], state["dnn"], parts.emb_2d,
+            params["dnn"], state["dnn"], mlp_in,
             train=train, dropout_rate=cfg.dropout, rng=rng,
         )
         logits = nn.dense(params["final"], h)

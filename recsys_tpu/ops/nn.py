@@ -72,8 +72,27 @@ def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
     }
 
 
-def dense(params: Params, x: jax.Array, activation=None) -> jax.Array:
-    y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+def dense(params: Params, x, activation=None) -> jax.Array:
+    """``x`` may be a list/tuple of [B, d_i] pieces with Σd_i = in_dim: the
+    kernel is applied per piece against its static row slice and the
+    partial products summed — mathematically identical to
+    ``dense(concat(x))`` but the concatenated activation (and its
+    cotangent) never materializes. The embedding engines hand out their
+    small/big parts separately for exactly this (engines.EmbParts)."""
+    if isinstance(x, (list, tuple)):
+        w = params["w"]
+        lo = 0
+        y = None
+        for piece in x:
+            d = piece.shape[-1]
+            part = jnp.dot(piece, w[lo:lo + d],
+                           preferred_element_type=jnp.float32)
+            y = part if y is None else y + part
+            lo += d
+        y = y + params["b"]
+    else:
+        y = jnp.dot(x, params["w"],
+                    preferred_element_type=jnp.float32) + params["b"]
     if activation is not None:
         y = activation(y)
     return y

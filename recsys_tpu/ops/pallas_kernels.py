@@ -256,3 +256,158 @@ def embedding_lookup_flat_vjp(table_flat: jax.Array, gids: jax.Array,
     """Flat-stored [V·W] table + [B, F] ids → [B, F, W] rows. Forward = XLA
     gather on the 2-D view; backward = Pallas scatter, returned flat."""
     return _lookup_flat(table_flat, gids, num_rows, width)
+
+
+# ---------------------------------------------------------------------------
+# W-major (transposed) table path: storage [W, V_pad], no relayouts.
+#
+# Profiling the row-major flat storage (tools/profile_step.py, batch 16384)
+# showed the table LAYOUT — not the gather/scatter math — dominating the
+# embedding path: the per-step flat→[V,17] reshape materializes the table in
+# a 128-lane-padded tiling (7.5× physical bytes, ~430 MB) and XLA follows it
+# with a second {1,0}→{0,1} copy for the gather operand (~1.9 ms/step), and
+# the backward re-pays both around the scatter output (~1.7 ms/step). A
+# [W, V_pad] array tiles (8,128) with V on dense lanes — 24/17 ≈ 1.4× pad
+# instead of 7.5× — and it is ALREADY the physical layout the gather wants
+# (an [V, W]{0,1} operand ≡ [W, V]{1,0}), so the forward needs no table
+# copy at all and the backward writes its gradient directly in the storage
+# layout via the transposed kernel below.
+# ---------------------------------------------------------------------------
+
+
+def _scatter_kernel_T(tile_s, chunk_s, flags_s, ids_ref, g_ref, out_ref):
+    s = pl.program_id(0)
+    flags = flags_s[s]
+    is_first = flags & 1
+    live = flags & 2
+
+    @pl.when(is_first != 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(live != 0)
+    def _():
+        base = tile_s[s] * TILE_V
+        sub = chunk_s[s] % 8
+        rows = ids_ref[0]                                   # [8, C]
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 0) == sub)
+        local = jnp.sum(jnp.where(sel, rows, 0), axis=0) - base   # [C]
+        col_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (CHUNK, TILE_V), 1
+        )
+        onehot = (local[:, None] == col_iota).astype(jnp.float32)
+        # out[W, TILE_V] += gT[W, C] @ onehot[C, TILE_V] — grads arrive
+        # pre-transposed so this is a plain MXU matmul with the dense
+        # TILE_V columns on the output lanes
+        out_ref[:, :] += jnp.dot(g_ref[:, :], onehot,
+                                 preferred_element_type=jnp.float32)
+
+
+def sorted_segment_scatter_T(
+    sid: jax.Array,       # [Npad] int32, SORTED ascending; pad id ≥ num_rows_pad
+    sgT: jax.Array,       # [Wp, Npad] float32, grads in sorted order,
+                          # PRE-TRANSPOSED; Wp a multiple of 8 (sublanes)
+    offsets: jax.Array,   # [T+1] int32 searchsorted tile starts
+    num_rows_pad: int,    # table rows, multiple of TILE_V
+) -> jax.Array:
+    """Σ of sorted updates per row → [Wp, num_rows_pad] W-major grad
+    table. Wp rides the SUBLANE dim of every block, so it must be a
+    granule multiple (callers pad W→Wp and slice after)."""
+    w, npad = sgT.shape
+    assert npad % (8 * CHUNK) == 0 and num_rows_pad % TILE_V == 0
+    assert w % 8 == 0, "sublane dim must be a multiple of 8 — pad W first"
+    n_tiles = num_rows_pad // TILE_V
+    n_chunks = npad // CHUNK
+
+    t_of_s, c_of_s, flags = _work_items(offsets, n_tiles, n_chunks)
+    s_max = int(t_of_s.shape[0])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s_max,),
+        in_specs=[
+            pl.BlockSpec((1, 8, CHUNK), lambda s, t, c, f: (c[s] // 8, 0, 0)),
+            pl.BlockSpec((w, CHUNK), lambda s, t, c, f: (0, c[s])),
+        ],
+        out_specs=pl.BlockSpec((w, TILE_V), lambda s, t, c, f: (0, t[s])),
+    )
+    return pl.pallas_call(
+        _scatter_kernel_T,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((w, num_rows_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s_max * TILE_V * CHUNK * w,
+            bytes_accessed=npad * (4 + 4 * w) + num_rows_pad * 4 * w,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(t_of_s, c_of_s, flags, sid.reshape(n_chunks // 8, 8, CHUNK), sgT)
+
+
+def embedding_grad_T(
+    gids: jax.Array,      # [...] int32 row ids (any shape)
+    g: jax.Array,         # [..., W] float32 cotangents for the gathered rows
+    num_rows_pad: int,    # multiple of TILE_V (the stored table's V dim)
+) -> jax.Array:
+    """W-major [W, num_rows_pad] gradient of a W-major-table gather."""
+    w = g.shape[-1]
+    w_pad = _round_up(w, 8)   # output-block sublane granule
+    flat_ids = gids.reshape(-1)
+    flat_g = g.reshape(-1, w).astype(jnp.float32)
+    n = flat_ids.shape[0]
+    n_pad = _round_up(n, 8 * CHUNK)
+
+    sid, order = jax.lax.sort_key_val(
+        flat_ids, jnp.arange(n, dtype=jnp.int32)
+    )
+    sg = jnp.take(flat_g, order, axis=0)
+
+    if n_pad != n:
+        sid = jnp.concatenate(
+            [sid, jnp.full((n_pad - n,), num_rows_pad, jnp.int32)]
+        )
+        sg = jnp.concatenate([sg, jnp.zeros((n_pad - n, w), jnp.float32)])
+    if w_pad != w:
+        sg = jnp.pad(sg, ((0, 0), (0, w_pad - w)))
+
+    bounds = (jnp.arange(num_rows_pad // TILE_V + 1, dtype=jnp.int32)
+              * TILE_V)
+    offsets = jnp.searchsorted(sid, bounds, side="left").astype(jnp.int32)
+    # pre-transpose the sorted grads: [Npad, Wp] → [Wp, Npad] puts Npad on
+    # dense lanes (cheap, ~1.4× the logical bytes) and makes the kernel's
+    # per-item contraction a plain matmul
+    out = sorted_segment_scatter_T(sid, sg.T, offsets, num_rows_pad)
+    return out[:w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _lookup_wm(table_wm: jax.Array, gids: jax.Array) -> jax.Array:
+    # transpose is a layout-bitcast: [W, V]{1,0} IS [V, W]{0,1}, the
+    # gather-preferred operand layout — no table copy materializes
+    return jnp.take(table_wm.T, gids, axis=0)
+
+
+def _lookup_wm_fwd(table_wm, gids):
+    return _lookup_wm(table_wm, gids), (gids, table_wm.shape[1])
+
+
+def _lookup_wm_bwd(res, ct):
+    gids, v_pad = res
+    # barrier: the cotangent arrives as a fusion of interior-padded slice
+    # transposes (the engine's emb/wide lane splits); letting XLA fuse that
+    # chain into the sort/take operands of the scatter SIGABRTs the TPU
+    # compiler at batch≥16k (reduced repro: wide-grad + fm-sum-grad through
+    # one lookup). Materializing ct first keeps the kernel operands simple.
+    ct = jax.lax.optimization_barrier(ct)
+    return embedding_grad_T(gids, ct, v_pad), None
+
+
+_lookup_wm.defvjp(_lookup_wm_fwd, _lookup_wm_bwd)
+
+
+def embedding_lookup_wm_vjp(table_wm: jax.Array, gids: jax.Array) -> jax.Array:
+    """W-major [W, V_pad] table + [...] packed ids → [..., W] rows.
+    Forward = XLA gather on the transpose VIEW (no copy); backward =
+    `embedding_grad_T` (Pallas transposed scatter, grads land in the
+    storage layout)."""
+    return _lookup_wm(table_wm, gids)

@@ -50,6 +50,9 @@ _TABLE_KEYS = {"embedding", "tables"}
 _WIDE_KEYS = {"wide", "lin_cat"}
 #: flat-stored big tables (engines.FusedGatherEngine / SplitEngine)
 _FLAT_TABLE_LEAVES = {"table_flat", "big_flat"}
+#: W-major [W, V_pad] tables (SplitEngine 'big_wm'): vocab rows live on
+#: dim 1, so the model axis shards that dim
+_WMAJOR_TABLE_LEAVES = {"big_wm", "table_wm"}
 
 
 def param_specs(params) -> Any:
@@ -61,6 +64,8 @@ def param_specs(params) -> Any:
         keys = [getattr(k, "key", None) for k in path]
         if keys[-1] in _FLAT_TABLE_LEAVES:
             return P(MODEL_AXIS)
+        if keys[-1] in _WMAJOR_TABLE_LEAVES:
+            return P(None, MODEL_AXIS)
         if any(k in _TABLE_KEYS for k in keys) and keys[-1] == "table":
             return P(MODEL_AXIS, None)
         if any(k in _WIDE_KEYS for k in keys) and keys[-1] == "w":

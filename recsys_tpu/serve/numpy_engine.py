@@ -126,10 +126,10 @@ class NumpyPredictor:
                 }
             if big_f:
                 sizes = engine._sizes(big_f)
-                w = d + 1
-                v_pad = emb_table.pad_rows(sum(sizes))
                 self.big = {
-                    "rows": tables["big_flat"].reshape(v_pad, w),
+                    # storage is W-major [W, V_pad] (engines.py): transpose
+                    # once at load into a contiguous row-major mirror
+                    "rows": np.ascontiguousarray(tables["big_wm"].T),
                     "offsets": emb_table.field_offsets(sizes).astype(
                         np.int64),
                     "fields": np.asarray(big_f),

@@ -81,3 +81,42 @@ def test_embedding_grad_jit_and_in_scan(rng):
     got = np.asarray(run(jnp.asarray(ids), jnp.asarray(g)))
     want = sum(_oracle_scatter(ids[i], g[i], v) for i in range(k))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_embedding_grad_T_matches_row_major(rng):
+    """Transposed scatter == row-major scatter transposed == numpy oracle."""
+    from recsys_tpu.ops import pallas_kernels as pk
+
+    v_pad, w, n = 2048, 17, 4096
+    gids = jnp.asarray(rng.integers(0, v_pad - 5, n, dtype=np.int32))
+    g = jnp.asarray(rng.normal(size=(n, w)).astype(np.float32))
+    out_t = pk.embedding_grad_T(gids, g, v_pad)
+    assert out_t.shape == (w, v_pad)
+    oracle = np.zeros((v_pad, w), np.float32)
+    np.add.at(oracle, np.asarray(gids), np.asarray(g))
+    np.testing.assert_allclose(np.asarray(out_t), oracle.T, rtol=1e-5,
+                               atol=1e-5)
+    row = pk.embedding_grad(gids, g, v_pad)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(row).T,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_lookup_wm_vjp_roundtrip(rng):
+    """W-major gather forward == take on the transpose; its VJP == the
+    transposed scatter of the cotangent."""
+    from recsys_tpu.ops import pallas_kernels as pk
+
+    v_pad, w, n = 1024, 9, 2048
+    table_wm = jnp.asarray(rng.normal(size=(w, v_pad)).astype(np.float32))
+    gids = jnp.asarray(rng.integers(0, v_pad, n, dtype=np.int32))
+    rows = pk.embedding_lookup_wm_vjp(table_wm, gids)
+    np.testing.assert_allclose(np.asarray(rows),
+                               np.asarray(table_wm).T[np.asarray(gids)])
+
+    ct = jnp.asarray(rng.normal(size=(n, w)).astype(np.float32))
+    f = lambda t: jnp.vdot(pk.embedding_lookup_wm_vjp(t, gids), ct)
+    grad = jax.grad(f)(table_wm)
+    oracle = np.zeros((v_pad, w), np.float32)
+    np.add.at(oracle, np.asarray(gids), np.asarray(ct))
+    np.testing.assert_allclose(np.asarray(grad), oracle.T, rtol=1e-5,
+                               atol=1e-5)

@@ -57,10 +57,19 @@ def make_din(item_vocab: int = ITEM_VOCAB, cate_vocab: int = CATE_VOCAB,
 
     def apply(params, state, batch, *, train=False, rng=None, emb_ops=None):
         del emb_ops  # DIN's tables are small; always local
-        item_emb = jnp.take(params["item_emb"], batch["i_id"], axis=0)
-        cate_emb = jnp.take(params["cate_emb"], batch["i_cate"], axis=0)
-        hist_item = jnp.take(params["item_emb"], batch["hist_iid"], axis=0)
-        hist_cate = jnp.take(params["cate_emb"], batch["hist_cate"], axis=0)
+        from recsys_tpu.embeddings import table as emb_table
+
+        # table_gather routes the backward through the Pallas sorted-
+        # segment scatter on TPU: XLA's serial scatter emitter over the
+        # B·P history updates was the top DIN step cost (~4 ms of an
+        # 18.5 ms step at batch 8192 — two [V, D] kCustom scatters,
+        # tools/profile_step.py methodology)
+        item_emb = emb_table.table_gather(params["item_emb"], batch["i_id"])
+        cate_emb = emb_table.table_gather(params["cate_emb"], batch["i_cate"])
+        hist_item = emb_table.table_gather(params["item_emb"],
+                                           batch["hist_iid"])
+        hist_cate = emb_table.table_gather(params["cate_emb"],
+                                           batch["hist_cate"])
 
         if rng is not None:
             rng, r1, r2, r3 = jax.random.split(rng, 4)

@@ -56,18 +56,35 @@ def _fold_mlp(mlp_params: dict, mlp_state: dict) -> list[dict]:
     return layers
 
 
+def _sigmoid_(logits: np.ndarray) -> np.ndarray:
+    """In-place sigmoid of a fresh logits array."""
+    np.negative(logits, out=logits)
+    np.exp(logits, out=logits)
+    logits += 1.0
+    np.reciprocal(logits, out=logits)
+    return logits
+
+
 def _mlp(layers: list[dict], x: np.ndarray) -> np.ndarray:
+    """In-place tail ops on the fresh dot output: one allocation per layer
+    (the latency path is numpy-dispatch/alloc-bound, not FLOP-bound)."""
     h = x
     for l in layers:
-        h = np.maximum(h @ l["w"] + l["b"], 0.0)
+        h = np.dot(h, l["w"])
+        h += l["b"]
+        np.maximum(h, 0.0, out=h)
         if "bn_a" in l:
-            h = h * l["bn_a"] + l["bn_c"]
+            h *= l["bn_a"]
+            h += l["bn_c"]
     return h
 
 
 def _dense(p: dict, x: np.ndarray, relu: bool = False) -> np.ndarray:
-    y = x @ p["w"] + p["b"]
-    return np.maximum(y, 0.0) if relu else y
+    y = np.dot(x, p["w"])
+    y += p["b"]
+    if relu:
+        np.maximum(y, 0.0, out=y)
+    return y
 
 
 class NumpyPredictor:
@@ -158,7 +175,7 @@ class NumpyPredictor:
         if self.name == "wide":
             gids = ids.astype(np.int64) + self.offsets
             logits = self.w_wide[gids].sum(axis=1) + self.b_wide
-            return 1.0 / (1.0 + np.exp(-logits))
+            return _sigmoid_(logits)
 
         rows = self._rows(ids)                       # [B, F, D+1] engine ord
         emb = rows[:, :, :-1]
@@ -194,14 +211,15 @@ class NumpyPredictor:
                            relu=True)
             logits = _dense(self.p["final"],
                             np.concatenate([y_lin, y_cin, y_dnn], 1))
-        logits = logits[:, 0]
-        return 1.0 / (1.0 + np.exp(-logits))
+        return _sigmoid_(logits[:, 0])
 
     @staticmethod
     def _fm(emb: np.ndarray) -> np.ndarray:
         s = emb.sum(axis=1)
-        sq = np.square(emb).sum(axis=1)
-        return 0.5 * (np.square(s) - sq).sum(axis=1, keepdims=True)
+        y = np.einsum("bd,bd->b", s, s)
+        y -= np.einsum("bfd,bfd->b", emb, emb)
+        y *= 0.5
+        return y[:, None]
 
     def _cin(self, emb: np.ndarray) -> np.ndarray:
         """interactions.cin_apply_xla in numpy: feature maps carried as

@@ -230,6 +230,45 @@ def bench_cf(seed: int = 0, workdir: str | None = None) -> list[dict]:
     return rows
 
 
+def _bench_tpu_serving_throughput(sv, batcher, cfg, *, batch: int = 8192,
+                                  clients: int = 4, reqs: int = 16) -> dict:
+    """Saturation-throughput serving on the accelerator: TPU serving is the
+    THROUGHPUT mode (small-batch p50 on a tunneled chip is host-RTT-bound,
+    hence the CPU latency rows) — here ``clients`` concurrent threads keep
+    big batches in flight against the micro-batcher, so device dispatches
+    pipeline and the aggregate rate is what a ranking tier would see.
+    Reference analog: TF-Serving's batched server fed by future-based
+    clients (deepfm/grpc_client.py:57-85)."""
+    import threading
+
+    from recsys_tpu.data import criteo as _criteo
+
+    feats = _criteo.synthetic_criteo(batch, cfg, start_row=77_000_000)
+    feats.pop("label")
+    batcher.predict(feats)   # warm the bucket
+    done = []
+    t0 = time.perf_counter()
+
+    def worker():
+        for _ in range(reqs):
+            p = batcher.predict(feats)
+            done.append(len(p))
+
+    threads = [threading.Thread(target=worker) for _ in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    exs = sum(done) / dt
+    row = {"model": "deepfm-criteo", "device": "tpu",
+           "protocol": f"throughput ({clients} clients)", "batch": batch,
+           "examples_per_s": exs}
+    log.info("tpu serving throughput: %.0f ex/s (%d clients x %d reqs "
+             "of %d)", exs, clients, reqs, batch)
+    return row
+
+
 def _bench_cpu_serving(export_dir: str, model_tag: str,
                        sample_fn, auc_rows: int = 0,
                        engine: str = "jit") -> list[dict]:
@@ -355,9 +394,9 @@ def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
 
     d = os.path.join(workdir, "export_deepfm")
     export_servable(d, "deepfm", params, state, mcfg, cfg)
-    sv = Servable(d, buckets=(256, 512))
+    sv = Servable(d, buckets=(256, 512, 8192))
     sv.warmup()
-    server, _ = make_rest_server(sv, port=0)  # OS-assigned free port
+    server, batcher = make_rest_server(sv, port=0)  # OS-assigned free port
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -373,6 +412,7 @@ def bench_serving(seed: int = 0, workdir: str | None = None) -> list[dict]:
                          "device": jax.default_backend(),
                          "protocol": "rest+encode"})
             log.info("serving batch %d: %s", n, stats)
+        rows.append(_bench_tpu_serving_throughput(sv, batcher, cfg))
     finally:
         server.shutdown()
 
@@ -586,6 +626,7 @@ def main(argv: list[str] | None = None) -> dict:
                    ("p50 ms", "latency_ms_p50", ".2f"),
                    ("p99 ms", "latency_ms_p99", ".2f"),
                    ("mean ms", "latency_ms_mean", ".2f"),
+                   ("ex/s", "examples_per_s", ",.0f"),
                    ("AUC", "auc", ".4f"),
                ])]
     md.append("")

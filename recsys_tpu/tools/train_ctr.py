@@ -14,7 +14,17 @@ from __future__ import annotations
 
 import glob
 import logging
+import os
 import sys
+
+if (len(sys.argv) > 1 and sys.argv[1] == "serve"):
+    # latency serving: multithreaded BLAS parks sibling threads that then
+    # fight other processes for the 2 host cores — a [200,32] matmul was
+    # measured at one full 16 ms scheduler timeslice under load. The tiny
+    # CTR towers never need BLAS threads; force single-thread BEFORE numpy
+    # loads OpenBLAS.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 import numpy as np
 

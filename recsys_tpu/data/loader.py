@@ -148,17 +148,31 @@ def device_prefetch(
         return out
 
     q: queue.Queue = queue.Queue(maxsize=depth)
+    qh: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
 
-    def worker():
+    # two-stage pipeline: host batch generation (shard IO + shuffle +
+    # stacking) and the host→device transfer run in separate threads, so
+    # transfer of stack k overlaps generation of stack k+1 — one combined
+    # worker serialized them (~30% of the sustained streaming rate on a
+    # 2-vCPU host, tools/bench_stream.py)
+    def worker_gen():
         try:
             for batch in host_iter:
-                q.put(put(batch))
+                qh.put(batch)
         finally:
-            q.put(_END)
+            qh.put(_END)
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
+    def worker_put():
+        while True:
+            item = qh.get()
+            if item is _END:
+                q.put(_END)
+                return
+            q.put(put(item))
+
+    threading.Thread(target=worker_gen, daemon=True).start()
+    threading.Thread(target=worker_put, daemon=True).start()
     while True:
         item = q.get()
         if item is _END:

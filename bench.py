@@ -32,10 +32,11 @@ def main() -> None:
     from recsys_tpu.models.api import make_model
     from recsys_tpu.train import train_state as TS
 
-    # 16384 amortizes the per-step fixed costs (the embedding table's
-    # flat<->2D relayouts are table-size-bound, not batch-bound): measured
-    # 1.27M ex/s vs 853k at 8192. 32768 trips a pathological XLA compile on
-    # this stack — do not raise further without re-testing compile time.
+    # 16384 amortizes the per-step fixed costs (table-size-bound work like
+    # the Adam stream and the scatter's per-tile items): measured sweep on
+    # the W-major layout — 8192 ~1.9M, 16384 2.59M (best), 32768 2.32M
+    # ex/s. Larger batches lose to the batch-linear gather/activation
+    # traffic growing past the fixed-cost amortization.
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     # 200 steps is plenty for a steady-state rate (~5s of device time at
     # batch 8192); keeping the default short bounds total wall time by the

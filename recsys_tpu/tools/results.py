@@ -578,6 +578,11 @@ def main(argv: list[str] | None = None) -> dict:
         "",
         f"## CTR zoo (synthetic Criteo, 39 fields, emb 16, batch {batch})",
         "",
+        "`xdeepfm`'s lower rate is its CIN tower: three fused-Pallas CIN "
+        "layers add ~60 GFLOP of genuine pairwise-interaction compute per "
+        "16k batch that no other zoo model performs (the reference shows "
+        "the same ordering: xdeepfm 14 steps/s vs dcn 45, README.md:53,61).",
+        "",
         _md_table(ctr_rows, [
             ("model", "model", ""), ("AUC", "auc", ".4f"),
             ("logloss", "logloss", ".4f"),
@@ -588,6 +593,13 @@ def main(argv: list[str] | None = None) -> dict:
     ]
     if do_din:
         md += ["", "## DIN (synthetic taste-cluster sequences)", "",
+               "Batch 1024 is the swept optimum (512/1k/2k/4k/8k/16k on "
+               "v5e): DIN's per-example cost is ~32 history positions of "
+               "[P, D=16] attention tensors whose 16-wide minor dim "
+               "lane-pads 8×, so memory traffic grows superlinearly with "
+               "batch and larger batches are SLOWER per example — unlike "
+               "the CTR zoo. The history-table backward runs the Pallas "
+               "sorted-segment scatter (models/din.py).", "",
                _md_table([result["din"]], [
                    ("model", "model", ""), ("AUC", "auc", ".4f"),
                    ("logloss", "logloss", ".4f"),

@@ -250,8 +250,12 @@ def _bench_tpu_serving_throughput(sv, batcher, cfg, *, batch: int = 8192,
     t0 = time.perf_counter()
 
     def worker():
+        # direct servable calls: each thread keeps its own device call in
+        # flight (Servable.predict is thread-safe by contract), so dispatch
+        # round-trips overlap — the reference's stub.Predict.future
+        # pipelining, server-side
         for _ in range(reqs):
-            p = batcher.predict(feats)
+            p = sv.predict(feats)
             done.append(len(p))
 
     threads = [threading.Thread(target=worker) for _ in range(clients)]

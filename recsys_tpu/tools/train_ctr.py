@@ -49,7 +49,7 @@ def main(argv: list[str] | None = None) -> dict:
     # flat (non-config-section) args, e.g. --data_dir=...; everything else
     # with a '=' is a --section.key=value RunConfig override
     _FLAT = ("--data_dir", "--export_dir", "--port", "--synthetic_rows",
-             "--hbm_data_budget", "--device", "--buckets")
+             "--hbm_data_budget", "--device", "--buckets", "--engine")
     overrides = [a for a in argv if a.startswith("--") and "=" in a
                  and not a.startswith(_FLAT)]
     kv = dict(

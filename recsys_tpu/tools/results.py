@@ -588,17 +588,21 @@ def main(argv: list[str] | None = None) -> dict:
         f"`{commit}` on `{result['device']}` "
         f"({time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())}).",
         "",
-        "Quality numbers are on the repo's planted synthetic tasks (fixed "
-        "seeds), so they are regression targets for THIS framework — not "
-        "comparable to the reference's real-dataset AUC. The `(bayes "
-        "ceiling)` row is the AUC/logloss of the planted ground-truth "
-        "probabilities on the same eval slice — the best any model could "
-        "do; `(id-only ceiling)` is the best for models that never see "
-        "the raw `dense` values (all but xDeepFM). This table's 1-epoch "
-        "rows are deliberately short; CONVERGENCE.md shows the tuned "
-        "protocol closing the gap to these ceilings to ≲0.002 AUC. "
-        "Throughput IS comparable: `vs reference` divides our "
-        "examples/s/chip by the reference's 2-GPU examples/s (BASELINE.md).",
+        "Quality numbers are on the repo's planted SECOND-ORDER synthetic "
+        "task (fixed seeds; rank-4 all-pairs id interactions — "
+        "data/criteo.py SyntheticSpec), so they are regression targets "
+        "for THIS framework — not comparable to the reference's "
+        "real-dataset AUC. The `(bayes ceiling)` row is the AUC/logloss "
+        "of the planted ground-truth probabilities on the same eval "
+        "slice — the best any model could do; `(id-only ceiling)` is the "
+        "best for models that never see the raw `dense` values (all but "
+        "xDeepFM). This table's 1-epoch rows are deliberately short; "
+        "CONVERGENCE.md runs the tuned 400M-example protocol against "
+        "THREE ceilings (linear/id-only/full) where the interaction "
+        "towers close 83-89% of the interaction gap and the additive "
+        "model saturates at the linear ceiling. Throughput IS "
+        "comparable: `vs reference` divides our examples/s/chip by the "
+        "reference's 2-GPU examples/s (BASELINE.md).",
         "",
         f"## CTR zoo (synthetic Criteo, 39 fields, emb 16, batch {batch})",
         "",

@@ -34,6 +34,17 @@ block (constant index map, zero-initialized at grid step 0).
 Reference behavior replaced: the conv1d-over-outer-product CIN layer
 (xdeepfm/xdeepfm.py:145-158) — same math as `interactions.cin_apply`,
 equivalence pinned by tests/test_pallas_cin.py.
+
+Known headroom (measured, not yet landed): the selector-expansion matmuls
+(A = x0@Sᵀ, Bm = xk@Rᵀ and their transposes) carry ~70% of the kernel's
+FLOPs but compute pure data movement — a[t, p·Fk+r] = x0[t, p] is a
+consecutive-element repeat and bm a block tile. Replacing them with
+in-VMEM repeat/concat (or running them bf16) is the next ~2-3× on
+xDeepFM's step — but in-kernel broadcast/reshape/concat formulations of
+exactly this pattern previously wedged the Mosaic compiler for 15-30 min
+per attempt on this stack (see .claude/skills/verify SKILL notes), so the
+matmul formulation stays until that is debuggable offline. xDeepFM's
+RESULTS gap vs DeepFM (760k vs 2.4M ex/s) is this kernel.
 """
 
 from __future__ import annotations
